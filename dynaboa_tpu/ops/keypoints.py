@@ -1,0 +1,155 @@
+"""Skeleton-format taxonomy and keypoint converters.
+
+Capability parity with reference ``utils/kp_utils.py`` (convert_kps /
+get_perm_idxs:28-44 and the per-dataset joint-name tables).  Redesigned as a
+declarative registry (one dict of name tuples) instead of 20 ``get_*`` module
+functions dispatched through ``eval``; converters are expressed as gather
+index arrays so they can run inside jitted graphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Canonical joint-name tables per skeleton format.  Names shared across
+# formats identify the same physical landmark, which is what makes
+# cross-format conversion a pure gather.
+JOINT_FORMATS: dict[str, tuple[str, ...]] = {
+    "spin": (
+        "OP Nose", "OP Neck", "OP RShoulder", "OP RElbow", "OP RWrist",
+        "OP LShoulder", "OP LElbow", "OP LWrist", "OP MidHip", "OP RHip",
+        "OP RKnee", "OP RAnkle", "OP LHip", "OP LKnee", "OP LAnkle",
+        "OP REye", "OP LEye", "OP REar", "OP LEar", "OP LBigToe",
+        "OP LSmallToe", "OP LHeel", "OP RBigToe", "OP RSmallToe", "OP RHeel",
+        "rankle", "rknee", "rhip", "lhip", "lknee", "lankle",
+        "rwrist", "relbow", "rshoulder", "lshoulder", "lelbow", "lwrist",
+        "neck", "headtop", "hip", "thorax", "Spine (H36M)", "Jaw (H36M)",
+        "Head (H36M)", "nose", "leye", "reye", "lear", "rear",
+    ),
+    "h36m": (
+        "hip", "lhip", "lknee", "lankle", "rhip", "rknee", "rankle",
+        "Spine (H36M)", "neck", "Head (H36M)", "headtop", "lshoulder",
+        "lelbow", "lwrist", "rshoulder", "relbow", "rwrist",
+    ),
+    "coco": (
+        "nose", "leye", "reye", "lear", "rear", "lshoulder", "rshoulder",
+        "lelbow", "relbow", "lwrist", "rwrist", "lhip", "rhip", "lknee",
+        "rknee", "lankle", "rankle",
+    ),
+    "common": (
+        "rankle", "rknee", "rhip", "lhip", "lknee", "lankle", "rwrist",
+        "relbow", "rshoulder", "lshoulder", "lelbow", "lwrist", "neck",
+        "headtop",
+    ),
+    "mpii": (
+        "rankle", "rknee", "rhip", "lhip", "lknee", "lankle", "hip",
+        "thorax", "neck", "headtop", "rwrist", "relbow", "rshoulder",
+        "lshoulder", "lelbow", "lwrist",
+    ),
+    "mpii3d": (
+        "spine3", "spine4", "spine2", "Spine (H36M)", "hip", "neck",
+        "Head (H36M)", "headtop", "left_clavicle", "lshoulder", "lelbow",
+        "lwrist", "left_hand", "right_clavicle", "rshoulder", "relbow",
+        "rwrist", "right_hand", "lhip", "lknee", "lankle", "left_foot",
+        "left_toe", "rhip", "rknee", "rankle", "right_foot", "right_toe",
+    ),
+    "mpii3d_test": (
+        "headtop", "neck", "rshoulder", "relbow", "rwrist", "lshoulder",
+        "lelbow", "lwrist", "rhip", "rknee", "rankle", "lhip", "lknee",
+        "lankle", "hip", "Spine (H36M)", "Head (H36M)",
+    ),
+    "3dpw": (
+        "nose", "thorax", "rshoulder", "relbow", "rwrist", "lshoulder",
+        "lelbow", "lwrist", "rhip", "rknee", "rankle", "lhip", "lknee",
+        "lankle",
+    ),
+    "smplcoco": (
+        "rankle", "rknee", "rhip", "lhip", "lknee", "lankle", "rwrist",
+        "relbow", "rshoulder", "lshoulder", "lelbow", "lwrist", "neck",
+        "headtop", "nose", "leye", "reye", "lear", "rear",
+    ),
+    "smpl": (
+        "hips", "leftUpLeg", "rightUpLeg", "spine", "leftLeg", "rightLeg",
+        "spine1", "leftFoot", "rightFoot", "spine2", "leftToeBase",
+        "rightToeBase", "neck", "leftShoulder", "rightShoulder", "head",
+        "leftArm", "rightArm", "leftForeArm", "rightForeArm", "leftHand",
+        "rightHand", "leftHandIndex1", "rightHandIndex1",
+    ),
+    "posetrack": (
+        "nose", "neck", "headtop", "lear", "rear", "lshoulder", "rshoulder",
+        "lelbow", "relbow", "lwrist", "rwrist", "lhip", "rhip", "lknee",
+        "rknee", "lankle", "rankle",
+    ),
+    "pennaction": (
+        "headtop", "lshoulder", "rshoulder", "lelbow", "relbow", "lwrist",
+        "rwrist", "lhip", "rhip", "lknee", "rknee", "lankle", "rankle",
+    ),
+    "aich": (
+        "rshoulder", "relbow", "rwrist", "lshoulder", "lelbow", "lwrist",
+        "rhip", "rknee", "rankle", "lhip", "lknee", "lankle", "headtop",
+        "neck",
+    ),
+    "insta": (
+        "OP RHeel", "OP RKnee", "OP RHip", "OP LHip", "OP LKnee", "OP LHeel",
+        "OP RWrist", "OP RElbow", "OP RShoulder", "OP LShoulder", "OP LElbow",
+        "OP LWrist", "OP Neck", "headtop", "OP Nose", "OP LEye", "OP REye",
+        "OP LEar", "OP REar", "OP LBigToe", "OP RBigToe", "OP LSmallToe",
+        "OP RSmallToe", "OP LAnkle", "OP RAnkle",
+    ),
+    "staf": (
+        "OP Nose", "OP Neck", "OP RShoulder", "OP RElbow", "OP RWrist",
+        "OP LShoulder", "OP LElbow", "OP LWrist", "OP MidHip", "OP RHip",
+        "OP RKnee", "OP RAnkle", "OP LHip", "OP LKnee", "OP LAnkle",
+        "OP REye", "OP LEye", "OP REar", "OP LEar", "Neck (LSP)",
+        "Top of Head (LSP)",
+    ),
+}
+
+
+def joint_names(fmt: str) -> tuple[str, ...]:
+    try:
+        return JOINT_FORMATS[fmt]
+    except KeyError as e:
+        raise ValueError(f"unknown skeleton format {fmt!r}; "
+                         f"known: {sorted(JOINT_FORMATS)}") from e
+
+
+def get_perm_idxs(src: str, dst: str) -> list[int]:
+    """Indices into ``src`` for every dst joint present in src, in dst order.
+
+    Parity with reference kp_utils.py:40-44.
+    """
+    src_names = joint_names(src)
+    return [src_names.index(n) for n in joint_names(dst) if n in src_names]
+
+
+def conversion_table(src: str, dst: str):
+    """(gather, mask) arrays mapping src-format joints to dst format.
+
+    ``gather[i]`` is the src index feeding dst joint i (0 where absent) and
+    ``mask[i]`` is 1.0 where dst joint i exists in src.  Usable inside jit.
+    """
+    src_names = joint_names(src)
+    dst_names = joint_names(dst)
+    gather = np.zeros(len(dst_names), dtype=np.int32)
+    mask = np.zeros(len(dst_names), dtype=np.float32)
+    for i, n in enumerate(dst_names):
+        if n in src_names:
+            gather[i] = src_names.index(n)
+            mask[i] = 1.0
+    return gather, mask
+
+
+def convert_kps(joints: np.ndarray, src: str, dst: str) -> np.ndarray:
+    """Re-index (B, J_src, 3) keypoints into (B, J_dst, 3); missing dst
+    joints are zero.  Parity with reference kp_utils.py:28-38."""
+    gather, mask = conversion_table(src, dst)
+    out = joints[:, gather] * mask[None, :, None]
+    return out
+
+
+def keypoint_hflip(kp: np.ndarray, img_width: float) -> np.ndarray:
+    """Horizontal flip in pixel space (reference kp_utils.py:19-26)."""
+    kp = kp.copy()
+    kp[..., 0] = (img_width - 1.0) - kp[..., 0]
+    return kp
