@@ -1,0 +1,288 @@
+"""HMR: ResNet-50 (GroupNorm) backbone + iterative SMPL-parameter regressor.
+
+Capability parity with reference ``model/hmr.py`` (HMR:63-181, hmr():314-323):
+same topology (bias-free convs, GroupNorm(4) everywhere — hmr.py:14-18, bottleneck
+[3,4,6,3]), same iterative regressor (3 iterations of
+fc1(2048+157 -> 1024) -> drop -> fc2 -> drop -> residual pose/shape/cam heads
+seeded from the SMPL mean parameters), and the same **15-entry feature-tap
+contract** (hmr.py:128-174):
+
+  0: conv1 output (pre-GN)      1-4: layer1..layer4 outputs
+  5: pooled 2048-d feature xf   6+3i, 7+3i, 8+3i (i in 0..2):
+                                fc1-out, post-dropout1, fc2-out per iteration
+
+Index 5 feeds retrieval, index 12 is the dynamic-BOA convergence signal
+(reference base_adaptor.py:262, dynaboa_benchmark.py:166).
+
+TPU-first design: NHWC layout throughout, pure-functional flax module (params
+are an explicit pytree so the MAML inner step is just tree arithmetic), mean
+parameters kept as module constants — not trainable parameters — matching the
+reference where they are torch buffers excluded from Adam/MAML.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+NPOSE = 24 * 6
+
+# torch-style conv init: normal(0, sqrt(2 / (kh * kw * out_ch)))
+# (reference hmr.py:92-95)
+def _torch_conv_init(key, shape, dtype=jnp.float32):
+    fan = shape[0] * shape[1] * shape[3]
+    import jax
+
+    return jax.random.normal(key, shape, dtype) * np.sqrt(2.0 / fan)
+
+
+def _xavier_small(key, shape, dtype=jnp.float32):
+    # xavier_uniform with gain=0.01 (reference hmr.py:88-90)
+    import jax
+
+    bound = 0.01 * np.sqrt(6.0 / (shape[0] + shape[1]))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _gn(name: str):
+    # GroupNorm(32 // 8 = 4 groups), torch eps default 1e-5 (hmr.py:14-18)
+    return nn.GroupNorm(num_groups=4, epsilon=1e-5, name=name)
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck block with GroupNorm (reference hmr.py:21-60)."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+                      kernel_init=_torch_conv_init, name="conv1")(x)
+        out = _gn("gn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      kernel_init=_torch_conv_init, name="conv2")(out)
+        out = _gn("gn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      kernel_init=_torch_conv_init, name="conv3")(out)
+        out = _gn("gn3")(out)
+        if self.has_downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, kernel_init=_torch_conv_init,
+                               name="down_conv")(x)
+            residual = _gn("down_gn")(residual)
+        return nn.relu(out + residual)
+
+
+class HMR(nn.Module):
+    """SMPL iterative regressor with a ResNet-50-GN backbone.
+
+    Call returns ``(rotmat (B,24,3,3), shape (B,10), cam (B,3), features)``
+    where ``features`` is the 15-tuple tap contract described above.
+    """
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    n_iter: int = 3
+    # SMPL mean parameters as plain tuples (hashable module constants; the
+    # reference keeps them as buffers — hmr.py:100-106).
+    mean_pose: tuple = tuple([0.0] * NPOSE)
+    mean_shape: tuple = tuple([0.0] * 10)
+    mean_cam: tuple = (0.9, 0.0, 0.0)
+
+    def _stage(self, x, planes: int, blocks: int, stride: int, name: str):
+        x = Bottleneck(planes, stride=stride, has_downsample=True,
+                       name=f"{name}_0")(x)
+        for b in range(1, blocks):
+            x = Bottleneck(planes, name=f"{name}_{b}")(x)
+        return x
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        init_pose: jnp.ndarray | None = None,
+        init_shape: jnp.ndarray | None = None,
+        init_cam: jnp.ndarray | None = None,
+        n_iter: int | None = None,
+    ):
+        """Args:
+          x: (B, 224, 224, 3) NHWC, ImageNet-normalized.
+          deterministic: True disables dropout (the adaptor runs the model in
+            eval mode during adaptation — reference dynaboa_benchmark.py:89).
+        """
+        from dynaboa_tpu.ops.rotations import rot6d_to_rotmat
+
+        n_iter = self.n_iter if n_iter is None else n_iter
+        B = x.shape[0]
+        features = []
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, kernel_init=_torch_conv_init,
+                    name="conv1")(x)
+        features.append(x)                       # tap 0: pre-GN conv1 out
+        x = _gn("gn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        x = self._stage(x, 64, self.layers[0], 1, "layer1")
+        features.append(x)                       # tap 1
+        x = self._stage(x, 128, self.layers[1], 2, "layer2")
+        features.append(x)                       # tap 2
+        x = self._stage(x, 256, self.layers[2], 2, "layer3")
+        features.append(x)                       # tap 3
+        x = self._stage(x, 512, self.layers[3], 2, "layer4")
+        features.append(x)                       # tap 4
+
+        xf = jnp.mean(x, axis=(1, 2))            # avgpool(7) -> (B, 2048)
+        features.append(xf)                      # tap 5: retrieval feature
+
+        if init_pose is None:
+            init_pose = jnp.broadcast_to(
+                jnp.asarray(self.mean_pose, x.dtype), (B, NPOSE))
+        if init_shape is None:
+            init_shape = jnp.broadcast_to(
+                jnp.asarray(self.mean_shape, x.dtype), (B, 10))
+        if init_cam is None:
+            init_cam = jnp.broadcast_to(
+                jnp.asarray(self.mean_cam, x.dtype), (B, 3))
+
+        fc1 = nn.Dense(1024, name="fc1")
+        fc2 = nn.Dense(1024, name="fc2")
+        decpose = nn.Dense(NPOSE, kernel_init=_xavier_small, name="decpose")
+        decshape = nn.Dense(10, kernel_init=_xavier_small, name="decshape")
+        deccam = nn.Dense(3, kernel_init=_xavier_small, name="deccam")
+        drop1 = nn.Dropout(0.5, name="drop1")
+        drop2 = nn.Dropout(0.5, name="drop2")
+
+        pred_pose, pred_shape, pred_cam = init_pose, init_shape, init_cam
+        for _ in range(n_iter):
+            xc = jnp.concatenate([xf, pred_pose, pred_shape, pred_cam], axis=1)
+            xc = fc1(xc)
+            features.append(xc)                  # tap 6 + 3i: fc1 out
+            xc = drop1(xc, deterministic=deterministic)
+            features.append(xc)                  # tap 7 + 3i: post-drop1
+            xc = fc2(xc)
+            features.append(xc)                  # tap 8 + 3i: fc2 out
+            xc = drop2(xc, deterministic=deterministic)
+            pred_pose = decpose(xc) + pred_pose
+            pred_shape = decshape(xc) + pred_shape
+            pred_cam = deccam(xc) + pred_cam
+
+        pred_rotmat = rot6d_to_rotmat(pred_pose).reshape(B, 24, 3, 3)
+        return pred_rotmat, pred_shape, pred_cam, tuple(features)
+
+
+def hmr(mean_params_path: str | None = None, **kwargs) -> HMR:
+    """Factory mirroring reference hmr() (model/hmr.py:314-323): builds the
+    ResNet-50 HMR, seeding the regressor from smpl_mean_params.npz when
+    available."""
+    if mean_params_path:
+        mp = np.load(mean_params_path)
+        kwargs.setdefault("mean_pose", tuple(np.asarray(mp["pose"], np.float64)))
+        kwargs.setdefault("mean_shape", tuple(np.asarray(mp["shape"], np.float64)))
+        kwargs.setdefault("mean_cam", tuple(np.asarray(mp["cam"], np.float64)))
+    return HMR(**kwargs)
+
+
+def init_hmr_params(model: HMR, rng, input_shape=(1, 224, 224, 3)):
+    """Initialize the parameter pytree."""
+    import jax
+
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32))
+    return variables["params"]
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion (reference base_adaptor.py:112-127 load path)
+# ---------------------------------------------------------------------------
+
+def convert_torch_state_dict(state: dict[str, Any]):
+    """Map a DynaBOA/SPIN torch HMR state_dict onto the flax param pytree.
+
+    Handles the reference's checkpoint conventions: optional ``module.``
+    prefixes from DataParallel pretraining (base_adaptor.py:124) and the
+    l2l MAML wrapper (keys under the bare names when saved wrapped).
+
+    Returns:
+      (params_pytree, mean_params dict with pose/shape/cam)
+    """
+    import torch
+
+    def np_(t):
+        return t.detach().cpu().numpy() if isinstance(t, torch.Tensor) else np.asarray(t)
+
+    state = {k.replace("module.", ""): v for k, v in state.items()}
+
+    params: dict[str, Any] = {}
+
+    def put(path: list[str], leaf_name: str, value: np.ndarray):
+        d = params
+        for p in path:
+            d = d.setdefault(p, {})
+        d[leaf_name] = jnp.asarray(value)
+
+    def conv(src: str, dst_path: list[str]):
+        w = np_(state[src + ".weight"])           # (O, I, kh, kw)
+        put(dst_path, "kernel", w.transpose(2, 3, 1, 0))
+
+    def gn(src: str, dst_path: list[str]):
+        put(dst_path, "scale", np_(state[src + ".weight"]))
+        put(dst_path, "bias", np_(state[src + ".bias"]))
+
+    def dense(src: str, dst_path: list[str]):
+        put(dst_path, "kernel", np_(state[src + ".weight"]).T)
+        put(dst_path, "bias", np_(state[src + ".bias"]))
+
+    conv("conv1", ["conv1"])
+    gn("bn1", ["gn1"])
+    for layer in ("layer1", "layer2", "layer3", "layer4"):
+        n = 1 + max(
+            int(k.split(".")[1]) for k in state if k.startswith(layer + ".")
+        )
+        for b in range(n):
+            base = f"{layer}.{b}"
+            dst = f"{layer}_{b}"
+            for i in (1, 2, 3):
+                conv(f"{base}.conv{i}", [dst, f"conv{i}"])
+                gn(f"{base}.bn{i}", [dst, f"gn{i}"])
+            if f"{base}.downsample.0.weight" in state:
+                conv(f"{base}.downsample.0", [dst, "down_conv"])
+                gn(f"{base}.downsample.1", [dst, "down_gn"])
+    for name in ("fc1", "fc2", "decpose", "decshape", "deccam"):
+        dense(name, [name])
+
+    mean = {}
+    for k, out in (("init_pose", "pose"), ("init_shape", "shape"),
+                   ("init_cam", "cam")):
+        if k in state:
+            mean[out] = np_(state[k]).reshape(-1)
+    return params, mean
+
+
+def load_basemodel(path: str):
+    """Load the reference's ``basemodel.pt`` checkpoint into (HMR, params).
+
+    The checkpoint is a torch file with a ``model`` key
+    (reference base_adaptor.py:116-125).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("model", ckpt)
+    params, mean = convert_torch_state_dict(state)
+    model = HMR(
+        mean_pose=tuple(mean.get("pose", np.zeros(NPOSE, np.float64))),
+        mean_shape=tuple(mean.get("shape", np.zeros(10, np.float64))),
+        mean_cam=tuple(mean.get("cam", np.array([0.9, 0.0, 0.0]))),
+    )
+    return model, params

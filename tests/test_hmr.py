@@ -1,0 +1,203 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dynaboa_tpu.models.hmr import (
+    HMR,
+    NPOSE,
+    convert_torch_state_dict,
+    init_hmr_params,
+)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    # tiny ResNet variant (1 block per stage) to keep CPU tests fast;
+    # same code paths as the full [3,4,6,3] network
+    return HMR(layers=(1, 1, 1, 1), mean_cam=(0.9, 0.0, 0.0))
+
+
+@pytest.fixture(scope="module")
+def small_params(small_model):
+    return init_hmr_params(small_model, jax.random.PRNGKey(0))
+
+
+class TestHMRShapes:
+    def test_outputs_and_feature_taps(self, small_model, small_params, rng):
+        x = jnp.asarray(rng.normal(size=(2, 224, 224, 3)).astype(np.float32))
+        rotmat, shape, cam, feats = small_model.apply(
+            {"params": small_params}, x
+        )
+        assert rotmat.shape == (2, 24, 3, 3)
+        assert shape.shape == (2, 10)
+        assert cam.shape == (2, 3)
+        assert len(feats) == 15
+        # tap contract
+        assert feats[0].shape == (2, 112, 112, 64)   # conv1 pre-GN
+        assert feats[4].shape == (2, 7, 7, 2048)     # layer4
+        assert feats[5].shape == (2, 2048)           # xf
+        for i in range(3):
+            assert feats[6 + 3 * i].shape == (2, 1024)   # fc1 out
+            assert feats[7 + 3 * i].shape == (2, 1024)   # post-drop1
+            assert feats[8 + 3 * i].shape == (2, 1024)   # fc2 out
+
+    def test_eval_mode_dropout_identity(self, small_model, small_params, rng):
+        x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+        _, _, _, feats = small_model.apply({"params": small_params}, x)
+        np.testing.assert_array_equal(np.asarray(feats[6]), np.asarray(feats[7]))
+
+    def test_rotmats_are_rotations(self, small_model, small_params, rng):
+        x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+        rotmat, *_ = small_model.apply({"params": small_params}, x)
+        R = np.asarray(rotmat).reshape(-1, 3, 3)
+        np.testing.assert_allclose(
+            R @ R.transpose(0, 2, 1), np.broadcast_to(np.eye(3), R.shape),
+            atol=1e-5,
+        )
+
+    def test_cam_starts_near_mean(self, small_model, small_params, rng):
+        # with xavier(0.01) heads the residual updates are small, so the cam
+        # prediction stays near the mean initialization
+        x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+        _, _, cam, _ = small_model.apply({"params": small_params}, x)
+        assert abs(float(cam[0, 0]) - 0.9) < 0.5
+
+
+class TorchHMROracle:
+    """Independent torch implementation of the SPIN/DynaBOA HMR topology,
+    used purely as a numerical oracle for the converter + forward pass."""
+
+    def __init__(self, layers):
+        import torch.nn as tn
+
+        self.tn = tn
+
+        def gn(c):
+            return tn.GroupNorm(4, c)
+
+        class Bottleneck(tn.Module):
+            expansion = 4
+
+            def __init__(self, inplanes, planes, stride=1, downsample=None):
+                super().__init__()
+                self.conv1 = tn.Conv2d(inplanes, planes, 1, bias=False)
+                self.bn1 = gn(planes)
+                self.conv2 = tn.Conv2d(planes, planes, 3, stride=stride,
+                                       padding=1, bias=False)
+                self.bn2 = gn(planes)
+                self.conv3 = tn.Conv2d(planes, planes * 4, 1, bias=False)
+                self.bn3 = gn(planes * 4)
+                self.relu = tn.ReLU()
+                self.downsample = downsample
+
+            def forward(self, x):
+                r = x if self.downsample is None else self.downsample(x)
+                out = self.relu(self.bn1(self.conv1(x)))
+                out = self.relu(self.bn2(self.conv2(out)))
+                out = self.bn3(self.conv3(out))
+                return self.relu(out + r)
+
+        class Net(tn.Module):
+            def __init__(self):
+                super().__init__()
+                self.inplanes = 64
+                self.conv1 = tn.Conv2d(3, 64, 7, stride=2, padding=3,
+                                       bias=False)
+                self.bn1 = gn(64)
+                self.relu = tn.ReLU()
+                self.maxpool = tn.MaxPool2d(3, stride=2, padding=1)
+                self.layer1 = self._make(Bottleneck, 64, layers[0], 1)
+                self.layer2 = self._make(Bottleneck, 128, layers[1], 2)
+                self.layer3 = self._make(Bottleneck, 256, layers[2], 2)
+                self.layer4 = self._make(Bottleneck, 512, layers[3], 2)
+                self.avgpool = tn.AvgPool2d(7, stride=1)
+                self.fc1 = tn.Linear(2048 + NPOSE + 13, 1024)
+                self.fc2 = tn.Linear(1024, 1024)
+                self.decpose = tn.Linear(1024, NPOSE)
+                self.decshape = tn.Linear(1024, 10)
+                self.deccam = tn.Linear(1024, 3)
+
+            def _make(self, block, planes, blocks, stride):
+                down = None
+                if stride != 1 or self.inplanes != planes * 4:
+                    down = tn.Sequential(
+                        tn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                                  bias=False),
+                        gn(planes * 4),
+                    )
+                mods = [block(self.inplanes, planes, stride, down)]
+                self.inplanes = planes * 4
+                for _ in range(1, blocks):
+                    mods.append(block(self.inplanes, planes))
+                return tn.Sequential(*mods)
+
+            def forward(self, x, init_pose, init_shape, init_cam):
+                import torch
+
+                x = self.conv1(x)
+                x = self.maxpool(self.relu(self.bn1(x)))
+                x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+                xf = self.avgpool(x).flatten(1)
+                pose, shape, cam = init_pose, init_shape, init_cam
+                for _ in range(3):
+                    xc = torch.cat([xf, pose, shape, cam], 1)
+                    xc = self.fc2(self.fc1(xc))
+                    pose = self.decpose(xc) + pose
+                    shape = self.decshape(xc) + shape
+                    cam = self.deccam(xc) + cam
+                return pose, shape, cam
+
+        self.net = Net().eval()
+
+    def state_dict(self):
+        return self.net.state_dict()
+
+
+class TestTorchParity:
+    def test_forward_matches_torch_oracle(self, rng):
+        """Random torch weights -> converter -> flax forward must match the
+        torch forward to float tolerance (validates layout transposition,
+        GroupNorm semantics, pooling conventions, regressor iteration)."""
+        import torch
+
+        torch.manual_seed(0)
+        oracle = TorchHMROracle(layers=(1, 1, 1, 1))
+        params, _ = convert_torch_state_dict(oracle.state_dict())
+
+        model = HMR(layers=(1, 1, 1, 1), mean_cam=(0.9, 0.0, 0.0))
+
+        x = rng.normal(size=(2, 3, 224, 224)).astype(np.float32)
+        with torch.no_grad():
+            init_pose = torch.zeros(2, NPOSE)
+            init_shape = torch.zeros(2, 10)
+            init_cam = torch.tensor([[0.9, 0.0, 0.0]] * 2)
+            tp, ts, tc = oracle.net(torch.from_numpy(x), init_pose,
+                                    init_shape, init_cam)
+
+        _, fs, fc, feats = model.apply(
+            {"params": params},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            init_pose=jnp.zeros((2, NPOSE)),
+            init_shape=jnp.zeros((2, 10)),
+            init_cam=jnp.asarray([[0.9, 0.0, 0.0]] * 2),
+        )
+        # regressor outputs: pre-rot6d pose comes out via the heads; compare
+        # shape/cam directly and pose through the final rotmats
+        np.testing.assert_allclose(np.asarray(fs), ts.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(fc), tc.numpy(), atol=2e-4)
+
+        from dynaboa_tpu.ops import rot6d_to_rotmat as j6d
+
+        R_t = np.asarray(j6d(jnp.asarray(tp.numpy())))
+        _, _, _, _ = fs, fc, feats, tp
+        rotmat, *_ = model.apply(
+            {"params": params},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            init_pose=jnp.zeros((2, NPOSE)),
+            init_shape=jnp.zeros((2, 10)),
+            init_cam=jnp.asarray([[0.9, 0.0, 0.0]] * 2),
+        )
+        np.testing.assert_allclose(
+            np.asarray(rotmat).reshape(-1, 3, 3), R_t, atol=2e-4
+        )
