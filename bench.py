@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: adapted frames/sec per chip for the full dynamic
+bilevel adaptation pipeline (flagship config).
+
+Runs the complete per-frame program — ResNet-50-GN HMR forward x ~10,
+inner/outer gradients, Adam, teacher EMA, on-device retrieval + mixtrain,
+dynamic extra-step while-loop, SMPL decode and on-device metrics — on one
+chip and reports throughput against the BASELINE.md target of >= 30 fps
+(the reference's published quality protocol has no speed number; 30 fps is
+this repo's target for real-time adaptation, BASELINE.md:25).
+
+Prints ONE JSON line:
+  {"metric": "adapted_frames_per_sec_per_chip", "value": N, "unit": "fps",
+   "vs_baseline": N/30}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from dynaboa_tpu.config import AdaptConfig, Paths
+    from dynaboa_tpu.apps.common import build_system
+    from dynaboa_tpu.engine.bilevel import Frame
+
+    log("devices:", jax.devices())
+
+    cfg = AdaptConfig()  # full reference defaults: everything on
+    system = build_system(cfg, Paths(), synthetic_fallback=True)
+    engine = system.engine
+
+    state = engine.init_state(system.params)
+
+    # Pre-staged synthetic frames (preprocessing is fused on device in the
+    # real pipeline; the benchmark measures the adaptation program itself).
+    rng = np.random.default_rng(0)
+    n_distinct = 8
+    frames = [
+        Frame(
+            image=jax.device_put(
+                rng.normal(size=(1, 224, 224, 3)).astype(np.float32)),
+            j2d=jax.device_put(np.concatenate([
+                rng.uniform(-1, 1, size=(1, 49, 2)),
+                np.ones((1, 49, 1)),
+            ], -1).astype(np.float32)),
+            pose=jax.device_put(
+                rng.normal(scale=0.2, size=(1, 72)).astype(np.float32)),
+            betas=jax.device_put(
+                rng.normal(scale=0.3, size=(1, 10)).astype(np.float32)),
+            gender=jax.device_put(np.zeros((1,), np.int32)),
+        )
+        for _ in range(n_distinct)
+    ]
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    state, out = engine.step(state, frames[0])
+    jax.block_until_ready(out["mpjpe"])
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    # timed run
+    n_frames = 40
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        state, out = engine.step(state, frames[i % n_distinct])
+    jax.block_until_ready(out["mpjpe"])
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    log(f"{n_frames} adapted frames in {dt:.2f}s -> {fps:.2f} fps "
+        f"(mean extra steps observed in last frame: "
+        f"{int(np.asarray(out['optim_steps']))})")
+
+    print(json.dumps({
+        "metric": "adapted_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Internet-video streaming adaptation (no ground truth).
+
+CLI parity with reference ``dynaboa_internet.py``: identical adaptation
+stack; inference caches per-frame verts / cam translation / rotmat / betas
+(reference dynaboa_internet.py:144-168) instead of computing metrics.
+
+Usage:
+  python -m dynaboa_tpu.apps.internet --expdir exps --expname internet
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+from dynaboa_tpu.apps.benchmark import build_parser, cfg_from_args
+
+
+def main(argv=None):
+    parser = build_parser()
+    parser.set_defaults(dataset="internet", expname="internet",
+                        # reference run_on_internet.sh:1-9 preset
+                        shape_prior_weight=2e-4)
+    args = parser.parse_args(argv)
+    exppath = osp.join(args.expdir, args.expname)
+    os.makedirs(exppath, exist_ok=True)
+
+    from dynaboa_tpu.apps.common import build_system, write_settings
+    from dynaboa_tpu.config import Paths
+    from dynaboa_tpu.data import InternetStream, SyntheticStream
+    from dynaboa_tpu.engine.runner import StreamRunner
+
+    write_settings(exppath, args)
+    cfg = cfg_from_args(args)
+    paths = Paths(basemodel=args.model_file)
+    # unlabeled stream: metrics are undefined, predictions are the output
+    system = build_system(cfg, paths, compute_metrics=False)
+
+    if args.synthetic:
+        stream = SyntheticStream(num_frames=args.synthetic, seed=args.seq_seed)
+    else:
+        stream = InternetStream(paths.internet_root)
+
+    runner = StreamRunner(system.engine, exppath, save_predictions=True,
+                          checkpoint_every=args.checkpoint_every,
+                          profile_dir=args.profile_dir)
+    state = system.engine.init_state(system.params)
+    _, summary = runner.run(stream, state, resume_from=args.resume,
+                            max_frames=args.max_frames)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

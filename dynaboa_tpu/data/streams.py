@@ -1,0 +1,228 @@
+"""Streaming frame datasets (layer L4).
+
+Capability parity with reference ``boa_dataset/pw3d.py`` and
+``boa_dataset/internet_data.py``: per-(seq, person) npz archives of frame
+annotations are concatenated into one strictly-ordered frame stream; each
+frame yields the 224x224 ImageNet-normalized crop, the crop-normalized
+keypoints, GT SMPL parameters (3DPW), gender, bbox and image name.
+
+Redesign notes:
+* NHWC output (TPU layout) instead of the reference's CHW.
+* A thread-pool prefetcher replaces the torch DataLoader's 8 worker
+  processes (base_adaptor.py:137) — the work is numpy/cv2-bound IO.
+* Frames can optionally be emitted raw (full padded frame + center/scale)
+  so preprocessing runs in the fused on-device graph
+  (dynaboa_tpu.ops.image.fused_crop_resize_normalize).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import os.path as osp
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from dynaboa_tpu import constants
+from dynaboa_tpu.ops import image as I
+
+
+def _imread_rgb(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img[:, :, ::-1].astype(np.float32)
+
+
+def _sort_key_3dpw(path: str) -> int:
+    """Order parity with reference pw3d.py:19-23 (vid * 10 + person)."""
+    base = os.path.basename(path)
+    vid = base.split("_")[1]
+    pid = base.split("_")[2][:-4]
+    return int(vid) * 10 + int(pid)
+
+
+def crop_and_normalize(img: np.ndarray, center, scale):
+    """Host preprocessing: crop -> 224^2 -> [0,1] -> ImageNet normalize,
+    NHWC float32."""
+    out = I.crop_numpy(img, center, scale,
+                       [constants.IMG_RES, constants.IMG_RES])
+    out = out.astype(np.float32) / 255.0
+    out = (out - constants.IMG_NORM_MEAN) / constants.IMG_NORM_STD
+    return out
+
+
+class PW3DStream:
+    """3DPW test-set stream for the #PS protocol.
+
+    Loads ``3dpw_{seq}_{person}.npz`` archives (produced by
+    ``dynaboa_tpu.data.preprocess.pw3d``) in the reference's fixed order.
+    """
+
+    def __init__(self, npz_dir: str, img_root: str, prefetch: int = 8):
+        paths = glob.glob(osp.join(npz_dir, "3dpw_[0-9]*_[0-9].npz"))
+        paths.sort(key=_sort_key_3dpw)
+        if not paths:
+            raise FileNotFoundError(f"no 3dpw npz archives in {npz_dir}")
+        self.seq_paths = paths
+        self.img_root = img_root
+        self.prefetch = prefetch
+
+        fields = {k: [] for k in
+                  ("imgname", "scale", "center", "pose", "shape", "j2d",
+                   "op_j2d", "gender")}
+        self.seq_lengths = []
+        for p in paths:
+            d = np.load(p, allow_pickle=True)
+            n = d["scale"].shape[0]
+            self.seq_lengths.append(n)
+            for k in fields:
+                if k == "gender":
+                    if "gender" in d:
+                        g = np.array(
+                            [0 if str(x) == "m" else 1 for x in d["gender"]],
+                            np.int32)
+                    else:
+                        g = -np.ones(n, np.int32)
+                    fields[k].append(g)
+                else:
+                    fields[k].append(d[k])
+        self.imgname = np.concatenate(fields["imgname"])
+        self.scale = np.concatenate(fields["scale"]).astype(np.float32)
+        self.center = np.concatenate(fields["center"]).astype(np.float32)
+        self.pose = np.concatenate(fields["pose"]).astype(np.float32)
+        self.betas = np.concatenate(fields["shape"]).astype(np.float32)
+        self.j2d = np.concatenate(fields["j2d"]).astype(np.float32)
+        self.op_j2d = np.concatenate(fields["op_j2d"]).astype(np.float32)
+        self.gender = np.concatenate(fields["gender"])
+
+    def __len__(self):
+        return self.scale.shape[0]
+
+    def record_order(self, out_path: str):
+        """seq_order.record parity (reference pw3d.py:67-69)."""
+        with open(out_path, "w") as f:
+            for p in self.seq_paths:
+                f.write(p + "\n")
+
+    def _load(self, i: int) -> dict:
+        img = _imread_rgb(osp.join(self.img_root, str(self.imgname[i])))
+        center, scale = self.center[i], float(self.scale[i])
+        item = {
+            "image": crop_and_normalize(img, center, scale),
+            "smpl_j2d": I.normalize_j2d(self.j2d[i], center, scale),
+            "op_j2d": I.normalize_j2d(self.op_j2d[i], center, scale),
+            "pose": self.pose[i],
+            "betas": self.betas[i],
+            "gender": self.gender[i],
+            "imgname": str(self.imgname[i]),
+            "bbox": np.array([center[0], center[1], scale * 200.0],
+                             np.float32),
+        }
+        return item
+
+    def __iter__(self) -> Iterator[dict]:
+        return _prefetched(self._load, len(self), self.prefetch)
+
+
+class InternetStream:
+    """Unlabeled internet-video stream (reference internet_data.py).
+
+    npz fields: imgname / center / scale / part (49-joint keypoints with
+    conf, produced by the AlphaPose extractor in data.preprocess.internet).
+    """
+
+    def __init__(self, root: str, prefetch: int = 8):
+        self.imgdir = osp.join(root, "images")
+        paths = sorted(glob.glob(osp.join(root, "*.npz")))
+        if not paths:
+            raise FileNotFoundError(f"no npz archives in {root}")
+        names, scales, centers, parts = [], [], [], []
+        for p in paths:
+            d = np.load(p, allow_pickle=True)
+            names.append(d["imgname"])
+            scales.append(d["scale"])
+            centers.append(d["center"])
+            parts.append(d["part"])
+        self.imgname = np.concatenate(names)
+        self.scale = np.concatenate(scales).astype(np.float32)
+        self.center = np.concatenate(centers).astype(np.float32)
+        self.j2d = np.concatenate(parts).astype(np.float32)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return self.scale.shape[0]
+
+    def _load(self, i: int) -> dict:
+        img = _imread_rgb(osp.join(self.imgdir, str(self.imgname[i])))
+        center, scale = self.center[i], float(self.scale[i])
+        return {
+            "image": crop_and_normalize(img, center, scale),
+            "smpl_j2d": I.normalize_j2d(self.j2d[i], center, scale),
+            "pose": np.zeros(72, np.float32),
+            "betas": np.zeros(10, np.float32),
+            "gender": np.int32(-1),
+            "imgname": str(self.imgname[i]),
+            "bbox": np.array([center[0], center[1], scale * 200.0],
+                             np.float32),
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        return _prefetched(self._load, len(self), self.prefetch)
+
+
+def _prefetched(load, n: int, workers: int) -> Iterator[dict]:
+    """Ordered prefetching iterator (replaces DataLoader worker processes)."""
+    if workers <= 0:
+        for i in range(n):
+            yield load(i)
+        return
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        window = workers * 2
+        futures = {i: ex.submit(load, i) for i in range(min(window, n))}
+        for i in range(n):
+            item = futures.pop(i).result()
+            j = i + window
+            if j < n:
+                futures[j] = ex.submit(load, j)
+            yield item
+
+
+class SyntheticStream:
+    """Deterministic synthetic stream with the exact 3DPW item schema —
+    backs tests and the no-data benchmark mode."""
+
+    def __init__(self, num_frames: int = 16, img_res: int = constants.IMG_RES,
+                 seed: int = 0):
+        self.n = num_frames
+        self.img_res = img_res
+        self.rng = np.random.default_rng(seed)
+        self._frames = [self._make(i) for i in range(num_frames)]
+
+    def _make(self, i: int) -> dict:
+        r = self.rng
+        return {
+            "image": r.normal(size=(self.img_res, self.img_res, 3)
+                              ).astype(np.float32),
+            "smpl_j2d": np.concatenate([
+                r.uniform(-1, 1, size=(49, 2)), np.ones((49, 1))], -1
+            ).astype(np.float32),
+            "op_j2d": np.concatenate([
+                r.uniform(-1, 1, size=(49, 2)), np.ones((49, 1))], -1
+            ).astype(np.float32),
+            "pose": r.normal(scale=0.2, size=72).astype(np.float32),
+            "betas": r.normal(scale=0.3, size=10).astype(np.float32),
+            "gender": np.int32(i % 2),
+            "imgname": f"synthetic_{i:06d}.png",
+            "bbox": np.array([112.0, 112.0, 224.0], np.float32),
+        }
+
+    def __len__(self):
+        return self.n
+
+    def __iter__(self):
+        return iter(self._frames)

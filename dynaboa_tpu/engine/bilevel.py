@@ -1,0 +1,374 @@
+"""Dynamic bilevel online adaptation as ONE jitted XLA program per frame.
+
+Control-flow parity with the reference's per-frame adaptation
+(dynaboa_benchmark.py:126-201, base_adaptor.py:222-317):
+
+  1. no-grad forward -> init feature taps
+  2. inner (lower-level) step(s) on a *virtual clone*: first-order MAML —
+     the clone is just ``params - fastlr * grad(L_lower)(params)``
+     (replaces learn2learn MAML(first_order=True), base_adaptor.py:119)
+  3. outer (upper-level) loss at the adapted params; Adam applies its
+     gradient to the REAL params (first-order semantics: the gradient at the
+     adapted point is the update direction for the base point)
+  4. mean-teacher EMA
+  5. dynamic extra steps: while 1 - cos(tap12_pre, tap12_post) > threshold
+     and fewer than ``optim_steps`` extra updates, keep taking upper-level
+     steps — a ``lax.while_loop`` carrying (params, opt state, teacher, rng)
+
+The reference crosses the host boundary many times per frame (``.item()``
+similarity test, python ``random.sample`` retrieval, numpy Procrustes); here
+the entire adapt-then-predict step — including retrieval and metrics — is one
+XLA program: no host sync until the metrics are fetched.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dynaboa_tpu.config import AdaptConfig
+from dynaboa_tpu.engine.retrieval import RetrievalStore, retrieve
+from dynaboa_tpu.losses import (
+    GMMPrior,
+    frame_loss,
+    keypoint_2d_loss_openpose,
+    labeled_loss,
+    motion_loss,
+    teacher_loss,
+    feature_cosine_similarities,
+)
+from dynaboa_tpu.metrics.eval import GenderedSMPL, evaluate_frame
+from dynaboa_tpu.models.smpl import smpl_forward
+from dynaboa_tpu.ops.camera import project_to_crop
+
+
+class Frame(NamedTuple):
+    """One preprocessed frame (batch dim kept for stream batching)."""
+
+    image: jnp.ndarray    # (B, 224, 224, 3) normalized NHWC
+    j2d: jnp.ndarray      # (B, 49, 3) normalized keypoints + conf
+    pose: jnp.ndarray     # (B, 72) GT SMPL pose (zeros when unlabeled)
+    betas: jnp.ndarray    # (B, 10) GT shape (zeros when unlabeled)
+    gender: jnp.ndarray   # (B,) int32: 0 male / 1 female
+
+
+class AdaptState(NamedTuple):
+    """Everything that evolves across the stream — a pure pytree, so
+    checkpoint/resume is bit-exact and the whole carry shards over a mesh."""
+
+    params: Any
+    teacher_params: Any
+    opt_state: Any
+    hist_images: jnp.ndarray   # (interval, B, 224, 224, 3) ring buffer
+    hist_j2d: jnp.ndarray      # (interval, B, 49, 3)
+    step: jnp.ndarray          # () int32
+    rng: jax.Array
+
+
+class BilevelEngine:
+    """Builds and jits the per-frame adaptation step.
+
+    Heavy static data (HMR apply fn, SMPL bodies, GMM prior, retrieval store)
+    is closed over; the jitted callable is ``(AdaptState, Frame) ->
+    (AdaptState, outputs-dict)``.
+    """
+
+    def __init__(
+        self,
+        cfg: AdaptConfig,
+        model,                     # flax HMR module
+        prior: GMMPrior,
+        smpls: GenderedSMPL,
+        store: RetrievalStore | None = None,
+        compute_metrics: bool = True,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.prior = prior
+        self.smpls = smpls
+        self.store = store
+        self.compute_metrics = compute_metrics
+        if cfg.mixtrain and cfg.retrieval and store is None:
+            raise ValueError("mixtrain+retrieval requires a RetrievalStore")
+        self.tx = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2,
+                             eps=1e-8, eps_root=0.0)
+        self.step = jax.jit(self._step)
+        self.predict = jax.jit(self._predict)
+
+    # -- model wrappers ----------------------------------------------------
+
+    def _forward(self, params, image):
+        return self.model.apply({"params": params}, image)
+
+    def _decode(self, rotmat, shape):
+        out = smpl_forward(self.smpls.neutral, shape, rotmat)
+        return out.joints, out.vertices
+
+    def _predict(self, params, image):
+        """Plain inference: image -> (rotmat, shape, cam, s3d, verts, s2d)."""
+        rotmat, shape, cam, feats = self._forward(params, image)
+        s3d, verts = self._decode(rotmat, shape)
+        s2d = project_to_crop(cam, s3d)["normed"]
+        return dict(rotmat=rotmat, shape=shape, cam=cam, s3d=s3d,
+                    verts=verts, s2d=s2d, feats=feats)
+
+    # -- loss builders -------------------------------------------------------
+
+    def _kp2d_loss(self, s2d, j2d):
+        if self.cfg.keypoint_source == "openpose":
+            return keypoint_2d_loss_openpose(s2d, j2d)
+        conf = j2d[:, 25:, 2:3]
+        return (((s2d[:, 25:] - j2d[:, 25:, :2]) ** 2) * conf).mean()
+
+    def _level_loss(self, params, frame: Frame, state: AdaptState,
+                    rng, level: str):
+        """Shared lower/upper loss builder
+        (reference base_adaptor.py:222-268 / 271-317)."""
+        cfg = self.cfg
+        use_frame = (cfg.use_frame_losses_lower if level == "lower"
+                     else cfg.use_frame_losses_upper)
+        use_temporal = (cfg.use_temporal_losses_lower if level == "lower"
+                        else cfg.use_temporal_losses_upper)
+        use_mixtrain = (cfg.lower_level_mixtrain if level == "lower"
+                        else cfg.upper_level_mixtrain)
+
+        rotmat, shape, cam, feats = self._forward(params, frame.image)
+        s3d, _ = self._decode(rotmat, shape)
+        s2d = project_to_crop(cam, s3d)["normed"]
+
+        aux: dict[str, jnp.ndarray] = {}
+        loss = jnp.zeros((), jnp.float32)
+
+        if use_frame:
+            if cfg.keypoint_source == "openpose":
+                s2dl = keypoint_2d_loss_openpose(s2d, frame.j2d)
+                from dynaboa_tpu.losses import shape_prior, pose_prior_loss
+
+                sp = shape_prior(shape)
+                pp = pose_prior_loss(self.prior, rotmat, shape)
+                loss = (s2dl * cfg.s2dloss_weight
+                        + sp * cfg.shape_prior_weight
+                        + pp * cfg.pose_prior_weight)
+                aux.update(s2dloss=s2dl, shape_prior=sp, pose_prior=pp)
+            else:
+                loss, parts = frame_loss(
+                    self.prior, s2d, rotmat, shape, frame.j2d,
+                    cfg.s2dloss_weight, cfg.shape_prior_weight,
+                    cfg.pose_prior_weight,
+                )
+                aux.update(parts)
+            aux["unlabelloss"] = loss
+
+        if use_temporal and cfg.use_meanteacher:
+            t_rotmat, t_shape, t_cam, _ = self._forward(
+                state.teacher_params, frame.image)
+            t_s3d, _ = self._decode(t_rotmat, t_shape)
+            t_s2d = project_to_crop(t_cam, t_s3d)["normed"]
+            tl, tparts = teacher_loss(rotmat, shape, s2d, s3d,
+                                      t_rotmat, t_shape, t_s2d, t_s3d)
+            loss = loss + tl * cfg.teacherloss_weight
+            aux["teacherloss"] = tl
+
+        if use_temporal and cfg.use_motion:
+            def with_motion(loss):
+                slot = state.step % self.cfg.interval
+                hist_img = state.hist_images[slot]
+                hist_j2d = state.hist_j2d[slot]
+                h_rotmat, h_shape, h_cam, _ = self._forward(params, hist_img)
+                h_s3d, _ = self._decode(h_rotmat, h_shape)
+                h_s2d = project_to_crop(h_cam, h_s3d)["normed"]
+                ml = motion_loss(s2d[:, 25:], frame.j2d[:, 25:],
+                                 h_s2d[:, 25:], hist_j2d[:, 25:])
+                return loss + ml * cfg.motionloss_weight, ml
+
+            def without_motion(loss):
+                return loss, jnp.zeros(())
+
+            # active strictly after `interval` frames
+            # (reference base_adaptor.py:257,306)
+            loss, ml = jax.lax.cond(
+                state.step > cfg.interval, with_motion, without_motion, loss
+            )
+            aux["motion_loss"] = ml
+
+        if use_mixtrain:
+            if cfg.retrieval:
+                bank = retrieve(self.store, feats[5][0], rng, cfg.sample_num)
+            else:
+                bank = jax.tree.map(
+                    lambda a: a[: cfg.sample_num], self.store.bank
+                )
+            e_rotmat, e_shape, e_cam, _ = self._forward(params, bank.images)
+            e_s3d, _ = self._decode(e_rotmat, e_shape)
+            e_s2d = project_to_crop(e_cam, e_s3d)["normed"]
+            ll, lparts = labeled_loss(
+                e_rotmat, e_shape, e_s2d, e_s3d,
+                bank.pose, bank.betas, bank.keypoints, bank.pose_3d,
+            )
+            loss = loss + ll * cfg.labelloss_weight
+            aux["labledloss"] = ll
+
+        return loss, (feats, aux)
+
+    # -- optimizer plumbing ------------------------------------------------
+
+    def _outer_update(self, grads, params, opt_state):
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def _ema_teacher(self, teacher, params):
+        """teacher = alpha * teacher + (1 - alpha) * student
+        (reference base_adaptor.py:193-201)."""
+        a = self.cfg.alpha
+        return jax.tree.map(lambda t, p: a * t + (1.0 - a) * p, teacher, params)
+
+    def _metrics(self, verts, frame: Frame):
+        if not self.compute_metrics:
+            z = jnp.zeros((frame.image.shape[0],))
+            return {"mpjpe": z, "pampjpe": z, "pve": z}
+        return evaluate_frame(self.smpls, verts, frame.pose, frame.betas,
+                              frame.gender)
+
+    # -- the per-frame program ----------------------------------------------
+
+    def _step(self, state: AdaptState, frame: Frame):
+        cfg = self.cfg
+        rng = state.rng
+        outputs: dict[str, Any] = {}
+
+        if cfg.use_boa:
+            # 1. pre-adaptation features (no grad; reference
+            # dynaboa_benchmark.py:132-133)
+            _, _, _, init_feats = self._forward(state.params, frame.image)
+
+            # 2. inner step(s) on the virtual clone
+            learner = state.params
+            lower_aux = {}
+            for i in range(cfg.inner_step):
+                rng, r = jax.random.split(rng)
+                (ll, (_, lower_aux)), g = jax.value_and_grad(
+                    self._level_loss, has_aux=True
+                )(learner, frame, state, r, "lower")
+                learner = jax.tree.map(
+                    lambda p, gg: p - cfg.fastlr * gg, learner, g
+                )
+                lower_aux["loss"] = ll
+                if cfg.record_lowerlevel:
+                    pred = self._predict(learner, frame.image)
+                    m = self._metrics(pred["verts"], frame)
+                    outputs[f"lower_{i}_mpjpe"] = m["mpjpe"]
+                    outputs[f"lower_{i}_pampjpe"] = m["pampjpe"]
+            outputs["lower"] = lower_aux
+
+            # 3. outer update at the adapted point
+            rng, r = jax.random.split(rng)
+            (ul, (_, upper_aux)), g = jax.value_and_grad(
+                self._level_loss, has_aux=True
+            )(learner, frame, state, r, "upper")
+            upper_aux["loss"] = ul
+            outputs["upper"] = upper_aux
+            params, opt_state = self._outer_update(
+                g, state.params, state.opt_state)
+            teacher = (self._ema_teacher(state.teacher_params, params)
+                       if cfg.use_meanteacher else state.teacher_params)
+
+            # 4. dynamic extra steps
+            if cfg.dynamic_boa:
+                _, _, _, post_feats = self._forward(params, frame.image)
+                sims = feature_cosine_similarities(init_feats, post_feats)
+                outputs["feat_sim_first"] = sims
+                sim12 = sims[12]
+
+                def cond(carry):
+                    _, _, _, _, sim, n = carry
+                    return jnp.logical_and(
+                        (1.0 - sim) > cfg.cos_sim_threshold,
+                        n < cfg.optim_steps,
+                    )
+
+                def body(carry):
+                    params, opt_state, teacher, rng, _, n = carry
+                    rng, r = jax.random.split(rng)
+                    (_, (feats_pre, _)), g = jax.value_and_grad(
+                        self._level_loss, has_aux=True
+                    )(params, frame, state, r, "upper")
+                    params, opt_state = self._outer_update(
+                        g, params, opt_state)
+                    if cfg.use_meanteacher:
+                        teacher = self._ema_teacher(teacher, params)
+                    _, _, _, feats_post = self._forward(params, frame.image)
+                    sim = feature_cosine_similarities(
+                        (feats_pre[12],), (feats_post[12],)
+                    )[0]
+                    return params, opt_state, teacher, rng, sim, n + 1
+
+                params, opt_state, teacher, rng, sim12, nsteps = (
+                    jax.lax.while_loop(
+                        cond, body,
+                        (params, opt_state, teacher, rng, sim12,
+                         jnp.zeros((), jnp.int32)),
+                    )
+                )
+                outputs["optim_steps"] = nsteps
+                outputs["feat_sim_final"] = sim12
+        else:
+            # plain single-level online adaptation (reference
+            # dynaboa_benchmark.py:194-201)
+            rng, r = jax.random.split(rng)
+            (ll, (_, lower_aux)), g = jax.value_and_grad(
+                self._level_loss, has_aux=True
+            )(state.params, frame, state, r, "lower")
+            lower_aux["loss"] = ll
+            outputs["lower"] = lower_aux
+            params, opt_state = self._outer_update(
+                g, state.params, state.opt_state)
+            teacher = (self._ema_teacher(state.teacher_params, params)
+                       if cfg.use_meanteacher else state.teacher_params)
+
+        # 5. final inference + metrics at the adapted weights
+        pred = self._predict(params, frame.image)
+        metrics = self._metrics(pred["verts"], frame)
+        outputs.update(metrics)
+        outputs["verts"] = pred["verts"]
+        outputs["rotmat"] = pred["rotmat"]
+        outputs["beta"] = pred["shape"]
+        outputs["cam"] = pred["cam"]
+
+        # 6. ring-buffer write (slot currently holds frame step-interval,
+        # which was consumed by the motion loss above)
+        slot = state.step % cfg.interval
+        new_state = AdaptState(
+            params=params,
+            teacher_params=teacher,
+            opt_state=opt_state,
+            hist_images=state.hist_images.at[slot].set(frame.image),
+            hist_j2d=state.hist_j2d.at[slot].set(frame.j2d),
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, outputs
+
+    # -- state construction / reset ------------------------------------------
+
+    def init_state(self, params, batch_size: int = 1,
+                   img_res: int = 224) -> AdaptState:
+        """Fresh adaptation state; also the documented remedy for adaptation
+        divergence (the webcam path's ``reload()``,
+        reference dynaboa_webcam.py:184-195)."""
+        teacher = jax.tree.map(jnp.asarray, params)
+        return AdaptState(
+            params=jax.tree.map(jnp.asarray, params),
+            teacher_params=teacher,
+            opt_state=self.tx.init(params),
+            hist_images=jnp.zeros(
+                (self.cfg.interval, batch_size, img_res, img_res, 3),
+                jnp.float32),
+            hist_j2d=jnp.zeros((self.cfg.interval, batch_size, 49, 3),
+                               jnp.float32),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(self.cfg.seed),
+        )

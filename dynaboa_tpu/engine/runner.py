@@ -1,0 +1,215 @@
+"""Streaming benchmark / adaptation runner.
+
+Capability parity with the reference entry loops (dynaboa_benchmark.py
+excute():71-123, dynaboa_internet.py excute():72-90): iterate the ordered
+frame stream, adapt on every frame, aggregate MPJPE / PA-MPJPE / PVE, print
+running means every 200 frames, and dump the same artifact set
+(res / lower_res / feat-sims / optim-step-record / per-frame predictions /
+res.txt) in npz form.
+
+Adds the capabilities the reference lacks (SURVEY §5): mid-run checkpointing
+with bit-exact resume, a ``reset()`` remedy for adaptation divergence, wall-
+clock phase timers, and `jax.profiler` trace hooks.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+
+import jax
+import numpy as np
+
+from dynaboa_tpu.engine.bilevel import AdaptState, BilevelEngine, Frame
+from dynaboa_tpu.engine.checkpoint import load_state, save_state
+from dynaboa_tpu.metrics.writer import RunningMeans, ScalarWriter
+
+
+def frame_from_item(item: dict, keypoint_source: str = "gt") -> Frame:
+    """Lift a dataset item (single frame, no batch dim) into a Frame."""
+    j2d = item["op_j2d"] if keypoint_source == "openpose" else item["smpl_j2d"]
+    return Frame(
+        image=item["image"][None],
+        j2d=j2d[None],
+        pose=item["pose"][None],
+        betas=item["betas"][None],
+        gender=np.asarray([item["gender"]], np.int32),
+    )
+
+
+class StreamRunner:
+    def __init__(
+        self,
+        engine: BilevelEngine,
+        exppath: str,
+        save_predictions: bool = False,
+        checkpoint_every: int = 0,
+        log_every: int = 200,
+        profile_dir: str | None = None,
+    ):
+        self.engine = engine
+        self.exppath = exppath
+        os.makedirs(osp.join(exppath, "result"), exist_ok=True)
+        os.makedirs(osp.join(exppath, "image"), exist_ok=True)
+        os.makedirs(osp.join(exppath, "mesh"), exist_ok=True)
+        self.writer = ScalarWriter(exppath)
+        self.save_predictions = save_predictions
+        self.checkpoint_every = checkpoint_every
+        self.log_every = log_every
+        self.profile_dir = profile_dir
+
+        self.reset_records()
+
+    def reset_records(self):
+        self.mpjpe_all: list[float] = []
+        self.pampjpe_all: list[float] = []
+        self.pve_all: list[float] = []
+        self.lower_mpjpe: dict[int, list[float]] = {}
+        self.lower_pampjpe: dict[int, list[float]] = {}
+        self.kp2d_lower: list[float] = []
+        self.kp2d_upper: dict[int, float] = {}
+        self.feat_sims: dict[int, list[float]] = {}
+        self.optim_step_record: list[int] = []
+        self.step_times: list[float] = []
+
+    def reset_state(self, params) -> AdaptState:
+        """Divergence remedy: fresh model/teacher/optimizer
+        (reference dynaboa_webcam.py reload():184-195)."""
+        return self.engine.init_state(params)
+
+    def run(
+        self,
+        stream,
+        init_state: AdaptState,
+        keypoint_source: str = "gt",
+        resume_from: str | None = None,
+        max_frames: int | None = None,
+    ) -> tuple[AdaptState, dict]:
+        state = init_state
+        start = 0
+        if resume_from and osp.exists(resume_from):
+            state = load_state(resume_from, init_state)
+            start = int(state.step)
+            print(f"---> resumed at frame {start}")
+
+        n_total = len(stream)
+        if self.profile_dir:
+            jax.profiler.start_trace(self.profile_dir)
+        try:
+            for i, item in enumerate(iter(stream)):
+                if i < start:
+                    continue
+                if max_frames is not None and i >= max_frames:
+                    break
+                frame = frame_from_item(item, keypoint_source)
+                t0 = time.perf_counter()
+                with jax.profiler.StepTraceAnnotation("boa_step", step_num=i):
+                    state, out = self.engine.step(state, frame)
+                    out = jax.tree.map(np.asarray, out)
+                self.step_times.append(time.perf_counter() - t0)
+                self._record(i, out)
+
+                if self.checkpoint_every and (i + 1) % self.checkpoint_every == 0:
+                    save_state(osp.join(self.exppath, "checkpoint.npz"), state)
+                if (i + 1) % self.log_every == 0:
+                    print(
+                        f"Step:{i}: MPJPE:{np.mean(self.mpjpe_all):.2f}, "
+                        f"PAMPJPE:{np.mean(self.pampjpe_all):.2f}, "
+                        f"PVE:{np.mean(self.pve_all):.2f}, "
+                        f"{1.0 / np.mean(self.step_times[-self.log_every:]):.2f} fps"
+                    )
+        finally:
+            if self.profile_dir:
+                jax.profiler.stop_trace()
+
+        summary = self.finalize(n_total)
+        return state, summary
+
+    def _record(self, i: int, out: dict):
+        scalars = {}
+        if "mpjpe" in out:
+            self.mpjpe_all.append(float(np.mean(out["mpjpe"])))
+            self.pampjpe_all.append(float(np.mean(out["pampjpe"])))
+            self.pve_all.append(float(np.mean(out["pve"])))
+            scalars.update({
+                "metrics/mpjpe": self.mpjpe_all[-1],
+                "metrics/pampjpe": self.pampjpe_all[-1],
+                "metrics/pve": self.pve_all[-1],
+            })
+        for k, v in out.get("lower", {}).items():
+            scalars[f"ll/{k}"] = float(np.mean(v))
+        for k, v in out.get("upper", {}).items():
+            scalars[f"ul/{k}"] = float(np.mean(v))
+        if "lower" in out and "s2dloss" in out["lower"]:
+            self.kp2d_lower.append(float(np.mean(out["lower"]["s2dloss"])))
+        if "upper" in out and "s2dloss" in out["upper"]:
+            self.kp2d_upper[i] = float(np.mean(out["upper"]["s2dloss"]))
+        j = 0
+        while f"lower_{j}_mpjpe" in out:
+            self.lower_mpjpe.setdefault(j, []).append(
+                float(np.mean(out[f"lower_{j}_mpjpe"])))
+            self.lower_pampjpe.setdefault(j, []).append(
+                float(np.mean(out[f"lower_{j}_pampjpe"])))
+            scalars[f"metrics/lower_{j}_mpjpe"] = self.lower_mpjpe[j][-1]
+            scalars[f"metrics/lower_{j}_pampjpe"] = self.lower_pampjpe[j][-1]
+            j += 1
+        if "optim_steps" in out:
+            self.optim_step_record.append(int(out["optim_steps"]))
+            scalars["dynamic/optim_steps"] = self.optim_step_record[-1]
+        if "feat_sim_first" in out:
+            sims = np.asarray(out["feat_sim_first"])
+            self.feat_sims[i] = sims.tolist()
+            scalars["feat_sim/cos_sim"] = float(sims.mean())
+            scalars["feat_sim/tap12"] = float(sims[12])
+        self.writer.write(i, scalars)
+
+        if self.save_predictions:
+            np.savez(
+                osp.join(self.exppath, "result", f"Pred_{i}.npz"),
+                verts=out["verts"], cam=out["cam"], rotmat=out["rotmat"],
+                beta=out["beta"],
+            )
+
+    def finalize(self, n_total: int) -> dict:
+        """Artifact-dump parity with reference dynaboa_benchmark.py:105-123."""
+        ex = self.exppath
+        mean = lambda v: float(np.mean(v)) if len(v) else float("nan")
+        summary = {
+            "mpjpe": mean(self.mpjpe_all),
+            "pampjpe": mean(self.pampjpe_all),
+            "pve": mean(self.pve_all),
+            "frames": len(self.mpjpe_all),
+            "fps": 1.0 / mean(self.step_times) if self.step_times else 0.0,
+        }
+        print("--- Final ---")
+        print(f"MPJPE:{summary['mpjpe']}, PAMPJPE:{summary['pampjpe']}, "
+              f"PVE:{summary['pve']}  ({summary['fps']:.2f} adapted fps)")
+
+        np.savez(osp.join(ex, "res.npz"), mpjpe=self.mpjpe_all,
+                 pampjpe=self.pampjpe_all, pve=self.pve_all)
+        np.savez(osp.join(ex, "lower_res.npz"),
+                 mpjpe=np.array([self.lower_mpjpe[k] for k in
+                                 sorted(self.lower_mpjpe)], dtype=object),
+                 pampjpe=np.array([self.lower_pampjpe[k] for k in
+                                   sorted(self.lower_pampjpe)], dtype=object),
+                 allow_pickle=True)
+        np.savez(osp.join(ex, "lowerlevel_kp2dloss.npz"),
+                 kp2dloss=self.kp2d_lower)
+        np.savez(osp.join(ex, "upperlevel_kp2dloss.npz"),
+                 steps=list(self.kp2d_upper.keys()),
+                 kp2dloss=list(self.kp2d_upper.values()))
+        if self.feat_sims:
+            np.savez(osp.join(ex, "feat_sims.npz"),
+                     steps=list(self.feat_sims.keys()),
+                     sims=np.asarray(list(self.feat_sims.values())))
+        np.savez(osp.join(ex, "optim_step_record.npz"),
+                 step=self.optim_step_record)
+        with open(osp.join(ex, "res.txt"), "w") as f:
+            f.write(f"MPJPE:{summary['mpjpe']}, "
+                    f"PAMPJPE:{summary['pampjpe']}, PVE:{summary['pve']}\n")
+            for k in sorted(self.lower_mpjpe):
+                f.write(f"Lower-level Step:{k} "
+                        f"MPJPE:{mean(self.lower_mpjpe[k])}, "
+                        f"PAMPJPE:{mean(self.lower_pampjpe[k])}\n")
+        return summary

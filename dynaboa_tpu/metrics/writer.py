@@ -1,0 +1,55 @@
+"""Lightweight scalar/metrics writer.
+
+Replaces the reference's TensorBoard SummaryWriter (base_adaptor.py:43,
+445-447) with an append-only JSONL scalar log plus rolling aggregates —
+trivially greppable, no proto dependency, and safe to flush from a streaming
+loop.  The same key names the reference logs (ll/*, ul/*, teacher/*,
+feat_sim/*, metrics/*) are preserved so downstream dashboards port over.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+
+
+class ScalarWriter:
+    def __init__(self, logdir: str, filename: str = "scalars.jsonl"):
+        os.makedirs(logdir, exist_ok=True)
+        self.path = os.path.join(logdir, filename)
+        self._f = open(self.path, "a", buffering=1)
+        self._t0 = time.time()
+
+    def write(self, step: int, scalars: dict) -> None:
+        rec = {"step": int(step), "t": round(time.time() - self._t0, 4)}
+        for k, v in scalars.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self._f.write(json.dumps(rec) + "\n")
+
+    def close(self):
+        self._f.close()
+
+
+class RunningMeans:
+    """Streaming means for the per-frame metric aggregates the reference
+    prints every 200 frames (dynaboa_benchmark.py:100-101)."""
+
+    def __init__(self):
+        self.sums = defaultdict(float)
+        self.counts = defaultdict(int)
+
+    def update(self, **kv):
+        for k, v in kv.items():
+            self.sums[k] += float(v)
+            self.counts[k] += 1
+
+    def mean(self, k: str) -> float:
+        return self.sums[k] / max(1, self.counts[k])
+
+    def summary(self) -> dict:
+        return {k: self.mean(k) for k in self.sums}

@@ -92,6 +92,8 @@ class HMR(nn.Module):
 
     layers: Sequence[int] = (3, 4, 6, 3)
     n_iter: int = 3
+    width: int = 64          # base channel count (64 = real ResNet-50)
+    regressor_dim: int = 1024
     # SMPL mean parameters as plain tuples (hashable module constants; the
     # reference keeps them as buffers — hmr.py:100-106).
     mean_pose: tuple = tuple([0.0] * NPOSE)
@@ -126,7 +128,8 @@ class HMR(nn.Module):
         B = x.shape[0]
         features = []
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+        w = self.width
+        x = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=_torch_conv_init,
                     name="conv1")(x)
         features.append(x)                       # tap 0: pre-GN conv1 out
@@ -134,13 +137,13 @@ class HMR(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        x = self._stage(x, 64, self.layers[0], 1, "layer1")
+        x = self._stage(x, w, self.layers[0], 1, "layer1")
         features.append(x)                       # tap 1
-        x = self._stage(x, 128, self.layers[1], 2, "layer2")
+        x = self._stage(x, 2 * w, self.layers[1], 2, "layer2")
         features.append(x)                       # tap 2
-        x = self._stage(x, 256, self.layers[2], 2, "layer3")
+        x = self._stage(x, 4 * w, self.layers[2], 2, "layer3")
         features.append(x)                       # tap 3
-        x = self._stage(x, 512, self.layers[3], 2, "layer4")
+        x = self._stage(x, 8 * w, self.layers[3], 2, "layer4")
         features.append(x)                       # tap 4
 
         xf = jnp.mean(x, axis=(1, 2))            # avgpool(7) -> (B, 2048)
@@ -156,8 +159,8 @@ class HMR(nn.Module):
             init_cam = jnp.broadcast_to(
                 jnp.asarray(self.mean_cam, x.dtype), (B, 3))
 
-        fc1 = nn.Dense(1024, name="fc1")
-        fc2 = nn.Dense(1024, name="fc2")
+        fc1 = nn.Dense(self.regressor_dim, name="fc1")
+        fc2 = nn.Dense(self.regressor_dim, name="fc2")
         decpose = nn.Dense(NPOSE, kernel_init=_xavier_small, name="decpose")
         decshape = nn.Dense(10, kernel_init=_xavier_small, name="decshape")
         deccam = nn.Dense(3, kernel_init=_xavier_small, name="deccam")
