@@ -174,6 +174,12 @@ class BilevelEngine:
             aux["teacherloss"] = tl
 
         if use_temporal and cfg.use_motion:
+            # webcam path computes motion over the OpenPose joint half
+            # (reference dynaboa_webcam.py:277 uses [:, :25]); benchmark /
+            # internet paths over the GT half (base_adaptor.py:258,307)
+            ksl = (slice(None, 25) if cfg.keypoint_source == "openpose"
+                   else slice(25, None))
+
             def with_motion(loss):
                 slot = state.step % self.cfg.interval
                 hist_img = state.hist_images[slot]
@@ -181,8 +187,8 @@ class BilevelEngine:
                 h_rotmat, h_shape, h_cam, _ = self._forward(params, hist_img)
                 h_s3d, _ = self._decode(h_rotmat, h_shape)
                 h_s2d = project_to_crop(h_cam, h_s3d)["normed"]
-                ml = motion_loss(s2d[:, 25:], frame.j2d[:, 25:],
-                                 h_s2d[:, 25:], hist_j2d[:, 25:])
+                ml = motion_loss(s2d[:, ksl], frame.j2d[:, ksl],
+                                 h_s2d[:, ksl], hist_j2d[:, ksl])
                 return loss + ml * cfg.motionloss_weight, ml
 
             def without_motion(loss):

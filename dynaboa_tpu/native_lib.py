@@ -56,8 +56,9 @@ def load():
     lib.composite_over.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
     lib.composite_over.restype = ctypes.c_int
     lib.crop_resize_normalize.argtypes = [
-        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
-        ctypes.c_float, ctypes.c_int, ctypes.c_int, f32p, f32p, f32p]
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, f32p, f32p]
     lib.crop_resize_normalize.restype = ctypes.c_int
     lib.ring_create.argtypes = [ctypes.c_int, ctypes.c_int]
     lib.ring_create.restype = ctypes.c_void_p
@@ -118,6 +119,7 @@ def crop_resize_normalize(img: np.ndarray, center, scale: float,
                           out_res: int = 224, supersample: int = 1,
                           mean=None, std=None) -> np.ndarray:
     from dynaboa_tpu import constants
+    from dynaboa_tpu.ops.image import crop_bounds
 
     lib = load()
     img = np.ascontiguousarray(img, np.float32)
@@ -126,11 +128,12 @@ def crop_resize_normalize(img: np.ndarray, center, scale: float,
     std = np.ascontiguousarray(
         constants.IMG_NORM_STD if std is None else std, np.float32)
     out = np.empty((out_res, out_res, 3), np.float32)
+    # the exact integer box comes from the authoritative host implementation
+    ul, br = crop_bounds(center, scale, [out_res, out_res])
     rc = lib.crop_resize_normalize(
         _fp(img), img.shape[0], img.shape[1],
-        ctypes.c_float(float(center[0])), ctypes.c_float(float(center[1])),
-        ctypes.c_float(float(scale)), out_res, supersample, _fp(mean),
-        _fp(std), _fp(out))
+        int(ul[0]), int(ul[1]), int(br[0]), int(br[1]),
+        out_res, supersample, _fp(mean), _fp(std), _fp(out))
     assert rc == 0
     return out
 

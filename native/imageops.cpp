@@ -41,18 +41,18 @@ extern "C" {
 
 // img: (H, W, 3) float32 RGB in [0, 255]
 // out: (out_res, out_res, 3) float32, ImageNet-normalized
-// The crop box follows the reference convention:
-//   ul = trunc(center - 100 * scale), br = trunc(center + 100 * scale)
-int crop_resize_normalize(const float* img, int H, int W, float cx, float cy,
-                          float scale, int out_res, int supersample,
+// The integer crop box (ulx, uly, brx, bry) is computed host-side by the
+// authoritative python implementation (ops/image.crop_bounds) — its exact
+// integer-truncation convention depends on np.linalg.inv float rounding
+// (dataprocess.py:39-54), so it is NOT re-derived here.
+int crop_resize_normalize(const float* img, int H, int W, int iulx, int iuly,
+                          int ibrx, int ibry, int out_res, int supersample,
                           const float* mean, const float* std_,
                           float* out) {
-  const float h = 200.f * scale;
-  const float ulx = std::trunc(cx - h / 2.f);
-  const float uly = std::trunc(cy - h / 2.f);
-  const float brx = std::trunc(cx + h / 2.f);
-  const float bry = std::trunc(cy + h / 2.f);
-  const float bw = brx - ulx, bh = bry - uly;
+  const float ulx = static_cast<float>(iulx);
+  const float uly = static_cast<float>(iuly);
+  const float bw = static_cast<float>(ibrx - iulx);
+  const float bh = static_cast<float>(ibry - iuly);
   const int ss = std::max(1, supersample);
   const int res = out_res * ss;
   const float inv255 = 1.f / 255.f;
@@ -87,8 +87,8 @@ int crop_resize_normalize(const float* img, int H, int W, float cx, float cy,
 }
 
 // uint8 variant (decodes typical image buffers without a float copy)
-int crop_resize_normalize_u8(const uint8_t* img, int H, int W, float cx,
-                             float cy, float scale, int out_res,
+int crop_resize_normalize_u8(const uint8_t* img, int H, int W, int iulx,
+                             int iuly, int ibrx, int ibry, int out_res,
                              int supersample, const float* mean,
                              const float* std_, float* out) {
   // convert lazily into a thread-local row cache would be fancier; for the
@@ -98,7 +98,7 @@ int crop_resize_normalize_u8(const uint8_t* img, int H, int W, float cx,
 #pragma omp parallel for schedule(static)
   for (long long i = 0; i < static_cast<long long>(n); ++i)
     tmp[i] = static_cast<float>(img[i]);
-  int rc = crop_resize_normalize(tmp, H, W, cx, cy, scale, out_res,
+  int rc = crop_resize_normalize(tmp, H, W, iulx, iuly, ibrx, ibry, out_res,
                                  supersample, mean, std_, out);
   delete[] tmp;
   return rc;
