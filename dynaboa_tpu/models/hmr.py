@@ -289,3 +289,95 @@ def load_basemodel(path: str):
         mean_cam=tuple(mean.get("cam", np.array([0.9, 0.0, 0.0]))),
     )
     return model, params
+
+
+class HMRISO(nn.Module):
+    """Dual-head HMR variant with a BatchNorm backbone and separate
+    self-supervised (ssl) / fully-supervised (fsl) regressor heads.
+
+    Capability parity with the reference's unused ``HMR_ISO``
+    (model/hmr.py:184-312).  BatchNorm runs in inference mode (running
+    statistics in the ``batch_stats`` collection), matching the adaptor's
+    eval-mode usage.
+    """
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    n_iter: int = 3
+    width: int = 64
+    regressor_dim: int = 1024
+    mean_pose: tuple = tuple([0.0] * NPOSE)
+    mean_shape: tuple = tuple([0.0] * 10)
+    mean_cam: tuple = (0.9, 0.0, 0.0)
+
+    def _bn(self, name):
+        return nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                            momentum=0.9, name=name)
+
+    def _block(self, x, planes, stride, name, downsample):
+        residual = x
+        out = nn.Conv(planes, (1, 1), use_bias=False,
+                      kernel_init=_torch_conv_init, name=f"{name}_conv1")(x)
+        out = nn.relu(self._bn(f"{name}_bn1")(out))
+        out = nn.Conv(planes, (3, 3), strides=(stride, stride),
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      kernel_init=_torch_conv_init, name=f"{name}_conv2")(out)
+        out = nn.relu(self._bn(f"{name}_bn2")(out))
+        out = nn.Conv(planes * 4, (1, 1), use_bias=False,
+                      kernel_init=_torch_conv_init, name=f"{name}_conv3")(out)
+        out = self._bn(f"{name}_bn3")(out)
+        if downsample:
+            residual = nn.Conv(planes * 4, (1, 1), strides=(stride, stride),
+                               use_bias=False, kernel_init=_torch_conv_init,
+                               name=f"{name}_down_conv")(x)
+            residual = self._bn(f"{name}_down_bn")(residual)
+        return nn.relu(out + residual)
+
+    def _head(self, xf, init_pose, init_shape, init_cam, prefix, n_iter):
+        from dynaboa_tpu.ops.rotations import rot6d_to_rotmat
+
+        head1 = nn.Dense(self.regressor_dim, name=f"{prefix}_fc1")
+        head2 = nn.Dense(self.regressor_dim, name=f"{prefix}_fc2")
+        decpose = nn.Dense(NPOSE, kernel_init=_xavier_small,
+                           name=f"{prefix}_decpose")
+        decshape = nn.Dense(10, kernel_init=_xavier_small,
+                            name=f"{prefix}_decshape")
+        deccam = nn.Dense(3, kernel_init=_xavier_small,
+                          name=f"{prefix}_deccam")
+        pose, shape, cam = init_pose, init_shape, init_cam
+        for _ in range(n_iter):
+            xc = jnp.concatenate([xf, pose, shape, cam], axis=1)
+            xc = head2(head1(xc))
+            pose = decpose(xc) + pose
+            shape = decshape(xc) + shape
+            cam = deccam(xc) + cam
+        B = xf.shape[0]
+        return rot6d_to_rotmat(pose).reshape(B, 24, 3, 3), shape, cam
+
+    @nn.compact
+    def __call__(self, x, n_iter: int | None = None):
+        n_iter = self.n_iter if n_iter is None else n_iter
+        B = x.shape[0]
+        w = self.width
+        x = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, kernel_init=_torch_conv_init,
+                    name="conv1")(x)
+        x = nn.relu(self._bn("bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        planes = [w, 2 * w, 4 * w, 8 * w]
+        for li, (p, blocks) in enumerate(zip(planes, self.layers), start=1):
+            for b in range(blocks):
+                stride = 2 if (li > 1 and b == 0) else 1
+                down = (b == 0)
+                x = self._block(x, p, stride, f"layer{li}_{b}", down)
+        xf = jnp.mean(x, axis=(1, 2))
+
+        init_pose = jnp.broadcast_to(
+            jnp.asarray(self.mean_pose, xf.dtype), (B, NPOSE))
+        init_shape = jnp.broadcast_to(
+            jnp.asarray(self.mean_shape, xf.dtype), (B, 10))
+        init_cam = jnp.broadcast_to(
+            jnp.asarray(self.mean_cam, xf.dtype), (B, 3))
+
+        fsl = self._head(xf, init_pose, init_shape, init_cam, "fsl", n_iter)
+        ssl = self._head(xf, init_pose, init_shape, init_cam, "ssl", n_iter)
+        return (*fsl, *ssl)
