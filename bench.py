@@ -30,6 +30,10 @@ def log(*a):
 def main():
     import jax
 
+    import dynaboa_tpu
+
+    dynaboa_tpu.enable_compilation_cache()
+
     from dynaboa_tpu.config import AdaptConfig, Paths
     from dynaboa_tpu.apps.common import build_system
     from dynaboa_tpu.engine.bilevel import Frame

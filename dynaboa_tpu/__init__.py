@@ -8,3 +8,19 @@ EMA, retrieval, and the dynamic extra-step while-loop all on device).
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist XLA compilations across processes (the bilevel program is
+    large; recompiling it every run wastes minutes)."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -270,57 +270,67 @@ class BilevelEngine:
                     outputs[f"lower_{i}_pampjpe"] = m["pampjpe"]
             outputs["lower"] = lower_aux
 
-            # 3. outer update at the adapted point
-            rng, r = jax.random.split(rng)
-            (ul, (_, upper_aux)), g = jax.value_and_grad(
-                self._level_loss, has_aux=True
-            )(learner, frame, state, r, "upper")
-            upper_aux["loss"] = ul
-            outputs["upper"] = upper_aux
-            params, opt_state = self._outer_update(
-                g, state.params, state.opt_state)
-            teacher = (self._ema_teacher(state.teacher_params, params)
-                       if cfg.use_meanteacher else state.teacher_params)
+            # 3 + 4. outer updates, all inside ONE while_loop.  Iteration 0
+            # is the mandatory update whose gradient is evaluated at the
+            # inner-adapted params (the clone); iterations 1..optim_steps are
+            # the dynamic extra steps (gradient at the real params), gated by
+            # the tap-12 cosine similarity between *consecutive parameter
+            # snapshots* — exactly the reference pairing, since the loss
+            # forward of iteration n runs at the post-update params of
+            # iteration n-1 (dynaboa_benchmark.py:147-192).  Folding the
+            # first update into the loop body halves the number of
+            # backbone-gradient instances XLA has to compile.
+            max_updates = 1 + (cfg.optim_steps if cfg.dynamic_boa else 0)
 
-            # 4. dynamic extra steps
-            if cfg.dynamic_boa:
-                _, _, _, post_feats = self._forward(params, frame.image)
-                sims = feature_cosine_similarities(init_feats, post_feats)
-                outputs["feat_sim_first"] = sims
-                sim12 = sims[12]
-
-                def cond(carry):
-                    _, _, _, _, sim, n = carry
-                    return jnp.logical_and(
-                        (1.0 - sim) > cfg.cos_sim_threshold,
-                        n < cfg.optim_steps,
-                    )
-
-                def body(carry):
-                    params, opt_state, teacher, rng, _, n = carry
-                    rng, r = jax.random.split(rng)
-                    (_, (feats_pre, _)), g = jax.value_and_grad(
-                        self._level_loss, has_aux=True
-                    )(params, frame, state, r, "upper")
-                    params, opt_state = self._outer_update(
-                        g, params, opt_state)
-                    if cfg.use_meanteacher:
-                        teacher = self._ema_teacher(teacher, params)
-                    _, _, _, feats_post = self._forward(params, frame.image)
-                    sim = feature_cosine_similarities(
-                        (feats_pre[12],), (feats_post[12],)
-                    )[0]
-                    return params, opt_state, teacher, rng, sim, n + 1
-
-                params, opt_state, teacher, rng, sim12, nsteps = (
-                    jax.lax.while_loop(
-                        cond, body,
-                        (params, opt_state, teacher, rng, sim12,
-                         jnp.zeros((), jnp.int32)),
-                    )
+            def cond(carry):
+                _, _, _, _, _, sim, n, _ = carry
+                return jnp.logical_and(
+                    n < max_updates,
+                    jnp.logical_or(n == 0,
+                                   (1.0 - sim) > cfg.cos_sim_threshold),
                 )
-                outputs["optim_steps"] = nsteps
-                outputs["feat_sim_final"] = sim12
+
+            def body(carry):
+                params, opt_state, teacher, rng, prev12, sim, n, first = carry
+                rng, r = jax.random.split(rng)
+                eval_params = jax.lax.cond(
+                    n == 0, lambda: learner, lambda: params)
+                (ul, (_, aux)), g = jax.value_and_grad(
+                    self._level_loss, has_aux=True
+                )(eval_params, frame, state, r, "upper")
+                aux["loss"] = ul
+                params, opt_state = self._outer_update(g, params, opt_state)
+                if cfg.use_meanteacher:
+                    teacher = self._ema_teacher(teacher, params)
+                _, _, _, feats_post = self._forward(params, frame.image)
+                post12 = feats_post[12]
+                sim = feature_cosine_similarities((prev12,), (post12,))[0]
+                first = jax.tree.map(
+                    lambda a, b: jnp.where(n == 0, a, b), aux, first)
+                return (params, opt_state, teacher, rng, post12, sim, n + 1,
+                        first)
+
+            # aux-log structure template (zeros; filled by iteration 0).
+            # eval_shape traces without compiling, so this adds no HLO.
+            aux_shapes = jax.eval_shape(
+                lambda p: self._level_loss(p, frame, state, rng, "upper")[1][1],
+                learner)
+            aux_t = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes)
+            aux_t["loss"] = jnp.zeros(())
+
+            init12 = init_feats[12]
+            (params, opt_state, teacher, rng, _, sim12, nupd, upper_aux) = (
+                jax.lax.while_loop(
+                    cond, body,
+                    (state.params, state.opt_state, state.teacher_params,
+                     rng, init12, jnp.zeros(()), jnp.zeros((), jnp.int32),
+                     aux_t),
+                )
+            )
+            outputs["upper"] = upper_aux
+            outputs["optim_steps"] = nupd - 1      # extra steps beyond the 1st
+            outputs["feat_sim_final"] = sim12
         else:
             # plain single-level online adaptation (reference
             # dynaboa_benchmark.py:194-201)
@@ -337,6 +347,12 @@ class BilevelEngine:
 
         # 5. final inference + metrics at the adapted weights
         pred = self._predict(params, frame.image)
+        if cfg.use_boa:
+            # observability: per-tap similarity between the pre-adaptation
+            # and final features (the reference logs per-update-step sims,
+            # base_adaptor.py:211-219; here one fused vector per frame)
+            outputs["feat_sim"] = feature_cosine_similarities(
+                init_feats, pred["feats"])
         metrics = self._metrics(pred["verts"], frame)
         outputs.update(metrics)
         outputs["verts"] = pred["verts"]

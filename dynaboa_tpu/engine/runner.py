@@ -157,8 +157,8 @@ class StreamRunner:
         if "optim_steps" in out:
             self.optim_step_record.append(int(out["optim_steps"]))
             scalars["dynamic/optim_steps"] = self.optim_step_record[-1]
-        if "feat_sim_first" in out:
-            sims = np.asarray(out["feat_sim_first"])
+        if "feat_sim" in out:
+            sims = np.asarray(out["feat_sim"])
             self.feat_sims[i] = sims.tolist()
             scalars["feat_sim/cos_sim"] = float(sims.mean())
             scalars["feat_sim/tap12"] = float(sims[12])

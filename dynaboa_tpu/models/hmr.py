@@ -83,6 +83,19 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
+class _TailBlocks(nn.Module):
+    """Equal-shape tail bottlenecks of a stage as one ``nn.scan`` — the
+    adaptation program instantiates the backbone ~14x (forwards + gradients
+    in the while_loop body); scanning collapses each stage's repeated blocks
+    into one compiled body, cutting XLA compile time several-fold."""
+
+    planes: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        return Bottleneck(self.planes, name="block")(carry), None
+
+
 class HMR(nn.Module):
     """SMPL iterative regressor with a ResNet-50-GN backbone.
 
@@ -94,6 +107,7 @@ class HMR(nn.Module):
     n_iter: int = 3
     width: int = 64          # base channel count (64 = real ResNet-50)
     regressor_dim: int = 1024
+    scan_blocks: bool = True  # lax.scan over each stage's tail blocks
     # SMPL mean parameters as plain tuples (hashable module constants; the
     # reference keeps them as buffers — hmr.py:100-106).
     mean_pose: tuple = tuple([0.0] * NPOSE)
@@ -103,8 +117,19 @@ class HMR(nn.Module):
     def _stage(self, x, planes: int, blocks: int, stride: int, name: str):
         x = Bottleneck(planes, stride=stride, has_downsample=True,
                        name=f"{name}_0")(x)
-        for b in range(1, blocks):
-            x = Bottleneck(planes, name=f"{name}_{b}")(x)
+        if blocks <= 1:
+            return x
+        if self.scan_blocks:
+            Scan = nn.scan(
+                _TailBlocks,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=blocks - 1,
+            )
+            x, _ = Scan(planes, name=f"{name}_tail")(x, None)
+        else:
+            for b in range(1, blocks):
+                x = Bottleneck(planes, name=f"{name}_{b}")(x)
         return x
 
     @nn.compact
@@ -209,7 +234,7 @@ def init_hmr_params(model: HMR, rng, input_shape=(1, 224, 224, 3)):
 # torch checkpoint conversion (reference base_adaptor.py:112-127 load path)
 # ---------------------------------------------------------------------------
 
-def convert_torch_state_dict(state: dict[str, Any]):
+def convert_torch_state_dict(state: dict[str, Any], scan_blocks: bool = True):
     """Map a DynaBOA/SPIN torch HMR state_dict onto the flax param pytree.
 
     Handles the reference's checkpoint conventions: optional ``module.``
@@ -252,15 +277,39 @@ def convert_torch_state_dict(state: dict[str, Any]):
         n = 1 + max(
             int(k.split(".")[1]) for k in state if k.startswith(layer + ".")
         )
-        for b in range(n):
-            base = f"{layer}.{b}"
-            dst = f"{layer}_{b}"
+        # block 0 (the strided/downsampling block) is standalone
+        base = f"{layer}.0"
+        dst = f"{layer}_0"
+        for i in (1, 2, 3):
+            conv(f"{base}.conv{i}", [dst, f"conv{i}"])
+            gn(f"{base}.bn{i}", [dst, f"gn{i}"])
+        if f"{base}.downsample.0.weight" in state:
+            conv(f"{base}.downsample.0", [dst, "down_conv"])
+            gn(f"{base}.downsample.1", [dst, "down_gn"])
+        if n <= 1:
+            continue
+        if scan_blocks:
+            # tail blocks stack along a leading scan axis
             for i in (1, 2, 3):
-                conv(f"{base}.conv{i}", [dst, f"conv{i}"])
-                gn(f"{base}.bn{i}", [dst, f"gn{i}"])
-            if f"{base}.downsample.0.weight" in state:
-                conv(f"{base}.downsample.0", [dst, "down_conv"])
-                gn(f"{base}.downsample.1", [dst, "down_gn"])
+                ws = np.stack([
+                    np_(state[f"{layer}.{b}.conv{i}.weight"]).transpose(
+                        2, 3, 1, 0)
+                    for b in range(1, n)
+                ])
+                put([f"{layer}_tail", "block", f"conv{i}"], "kernel", ws)
+                put([f"{layer}_tail", "block", f"gn{i}"], "scale", np.stack([
+                    np_(state[f"{layer}.{b}.bn{i}.weight"])
+                    for b in range(1, n)]))
+                put([f"{layer}_tail", "block", f"gn{i}"], "bias", np.stack([
+                    np_(state[f"{layer}.{b}.bn{i}.bias"])
+                    for b in range(1, n)]))
+        else:
+            for b in range(1, n):
+                base = f"{layer}.{b}"
+                dst = f"{layer}_{b}"
+                for i in (1, 2, 3):
+                    conv(f"{base}.conv{i}", [dst, f"conv{i}"])
+                    gn(f"{base}.bn{i}", [dst, f"gn{i}"])
     for name in ("fc1", "fc2", "decpose", "decshape", "deccam"):
         dense(name, [name])
 
@@ -282,7 +331,7 @@ def load_basemodel(path: str):
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model", ckpt)
-    params, mean = convert_torch_state_dict(state)
+    params, mean = convert_torch_state_dict(state, scan_blocks=True)
     model = HMR(
         mean_pose=tuple(mean.get("pose", np.zeros(NPOSE, np.float64))),
         mean_shape=tuple(mean.get("shape", np.zeros(10, np.float64))),

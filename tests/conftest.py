@@ -16,6 +16,10 @@ import jax  # noqa: E402
 # installed; the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
+import dynaboa_tpu  # noqa: E402
+
+dynaboa_tpu.enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
