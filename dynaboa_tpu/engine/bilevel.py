@@ -125,9 +125,17 @@ class BilevelEngine:
         return (((s2d[:, 25:] - j2d[:, 25:, :2]) ** 2) * conf).mean()
 
     def _level_loss(self, params, frame: Frame, state: AdaptState,
-                    rng, level: str):
+                    bank, level: str):
         """Shared lower/upper loss builder
-        (reference base_adaptor.py:222-268 / 271-317)."""
+        (reference base_adaptor.py:222-268 / 271-317).
+
+        TPU-first batching: the current frame, the motion-history frame and
+        the retrieved exemplar run through ONE batched backbone forward (the
+        reference issues three separate batch-1 forwards per loss).  The
+        exemplar ``bank`` is retrieved by the caller from the most recent
+        feature snapshot, so the batched forward has no data dependence on
+        its own output.
+        """
         cfg = self.cfg
         use_frame = (cfg.use_frame_losses_lower if level == "lower"
                      else cfg.use_frame_losses_upper)
@@ -135,28 +143,47 @@ class BilevelEngine:
                         else cfg.use_temporal_losses_upper)
         use_mixtrain = (cfg.lower_level_mixtrain if level == "lower"
                         else cfg.upper_level_mixtrain)
+        use_motion = use_temporal and cfg.use_motion
 
-        rotmat, shape, cam, feats = self._forward(params, frame.image)
+        B = frame.image.shape[0]
+        imgs = [frame.image]
+        slot = state.step % cfg.interval
+        if use_motion:
+            imgs.append(state.hist_images[slot])
+        n_ex = 0
+        if use_mixtrain:
+            imgs.append(bank.images)
+            n_ex = bank.images.shape[0]
+        x = jnp.concatenate(imgs, axis=0) if len(imgs) > 1 else imgs[0]
+
+        rotmat, shape, cam, feats_all = self._forward(params, x)
         s3d, _ = self._decode(rotmat, shape)
         s2d = project_to_crop(cam, s3d)["normed"]
+
+        fr = slice(0, B)
+        hi = slice(B, 2 * B) if use_motion else None
+        ex = slice(x.shape[0] - n_ex, x.shape[0]) if use_mixtrain else None
+
+        # frame-row feature taps (the contract of reference hmr.py:128-174)
+        feats = tuple(f[fr] for f in feats_all)
 
         aux: dict[str, jnp.ndarray] = {}
         loss = jnp.zeros((), jnp.float32)
 
         if use_frame:
             if cfg.keypoint_source == "openpose":
-                s2dl = keypoint_2d_loss_openpose(s2d, frame.j2d)
+                s2dl = keypoint_2d_loss_openpose(s2d[fr], frame.j2d)
                 from dynaboa_tpu.losses import shape_prior, pose_prior_loss
 
-                sp = shape_prior(shape)
-                pp = pose_prior_loss(self.prior, rotmat, shape)
+                sp = shape_prior(shape[fr])
+                pp = pose_prior_loss(self.prior, rotmat[fr], shape[fr])
                 loss = (s2dl * cfg.s2dloss_weight
                         + sp * cfg.shape_prior_weight
                         + pp * cfg.pose_prior_weight)
                 aux.update(s2dloss=s2dl, shape_prior=sp, pose_prior=pp)
             else:
                 loss, parts = frame_loss(
-                    self.prior, s2d, rotmat, shape, frame.j2d,
+                    self.prior, s2d[fr], rotmat[fr], shape[fr], frame.j2d,
                     cfg.s2dloss_weight, cfg.shape_prior_weight,
                     cfg.pose_prior_weight,
                 )
@@ -168,57 +195,47 @@ class BilevelEngine:
                 state.teacher_params, frame.image)
             t_s3d, _ = self._decode(t_rotmat, t_shape)
             t_s2d = project_to_crop(t_cam, t_s3d)["normed"]
-            tl, tparts = teacher_loss(rotmat, shape, s2d, s3d,
-                                      t_rotmat, t_shape, t_s2d, t_s3d)
+            tl, _ = teacher_loss(rotmat[fr], shape[fr], s2d[fr], s3d[fr],
+                                 t_rotmat, t_shape, t_s2d, t_s3d)
             loss = loss + tl * cfg.teacherloss_weight
             aux["teacherloss"] = tl
 
-        if use_temporal and cfg.use_motion:
+        if use_motion:
             # webcam path computes motion over the OpenPose joint half
             # (reference dynaboa_webcam.py:277 uses [:, :25]); benchmark /
-            # internet paths over the GT half (base_adaptor.py:258,307)
+            # internet paths over the GT half (base_adaptor.py:258,307).
+            # Active strictly after `interval` frames
+            # (base_adaptor.py:257,306); always computed (it rides the
+            # batched forward), masked when inactive.
             ksl = (slice(None, 25) if cfg.keypoint_source == "openpose"
                    else slice(25, None))
-
-            def with_motion(loss):
-                slot = state.step % self.cfg.interval
-                hist_img = state.hist_images[slot]
-                hist_j2d = state.hist_j2d[slot]
-                h_rotmat, h_shape, h_cam, _ = self._forward(params, hist_img)
-                h_s3d, _ = self._decode(h_rotmat, h_shape)
-                h_s2d = project_to_crop(h_cam, h_s3d)["normed"]
-                ml = motion_loss(s2d[:, ksl], frame.j2d[:, ksl],
-                                 h_s2d[:, ksl], hist_j2d[:, ksl])
-                return loss + ml * cfg.motionloss_weight, ml
-
-            def without_motion(loss):
-                return loss, jnp.zeros(())
-
-            # active strictly after `interval` frames
-            # (reference base_adaptor.py:257,306)
-            loss, ml = jax.lax.cond(
-                state.step > cfg.interval, with_motion, without_motion, loss
-            )
-            aux["motion_loss"] = ml
+            hist_j2d = state.hist_j2d[slot]
+            ml = motion_loss(s2d[fr][:, ksl], frame.j2d[:, ksl],
+                             s2d[hi][:, ksl], hist_j2d[:, ksl])
+            active = (state.step > cfg.interval).astype(loss.dtype)
+            loss = loss + ml * active * cfg.motionloss_weight
+            aux["motion_loss"] = ml * active
 
         if use_mixtrain:
-            if cfg.retrieval:
-                bank = retrieve(self.store, feats[5][0], rng, cfg.sample_num)
-            else:
-                bank = jax.tree.map(
-                    lambda a: a[: cfg.sample_num], self.store.bank
-                )
-            e_rotmat, e_shape, e_cam, _ = self._forward(params, bank.images)
-            e_s3d, _ = self._decode(e_rotmat, e_shape)
-            e_s2d = project_to_crop(e_cam, e_s3d)["normed"]
-            ll, lparts = labeled_loss(
-                e_rotmat, e_shape, e_s2d, e_s3d,
+            ll, _ = labeled_loss(
+                rotmat[ex], shape[ex], s2d[ex], s3d[ex],
                 bank.pose, bank.betas, bank.keypoints, bank.pose_3d,
             )
             loss = loss + ll * cfg.labelloss_weight
             aux["labledloss"] = ll
 
         return loss, (feats, aux)
+
+    def _retrieve(self, feat5, rng):
+        """Exemplar draw keyed on the given 2048-d feature snapshot
+        (reference base_adaptor.py:82-96); static no-op when mixtrain is
+        off."""
+        cfg = self.cfg
+        if not (cfg.lower_level_mixtrain or cfg.upper_level_mixtrain):
+            return None
+        if cfg.retrieval:
+            return retrieve(self.store, feat5, rng, cfg.sample_num)
+        return jax.tree.map(lambda a: a[: cfg.sample_num], self.store.bank)
 
     # -- optimizer plumbing ------------------------------------------------
 
@@ -251,18 +268,23 @@ class BilevelEngine:
             # dynaboa_benchmark.py:132-133)
             _, _, _, init_feats = self._forward(state.params, frame.image)
 
-            # 2. inner step(s) on the virtual clone
+            # 2. inner step(s) on the virtual clone.  Retrieval for inner
+            # step 0 keys off init_feats[5] — identical to the reference,
+            # where the clone's pre-adapt forward IS the base model's.
             learner = state.params
             lower_aux = {}
+            prev5 = init_feats[5][0]
             for i in range(cfg.inner_step):
                 rng, r = jax.random.split(rng)
-                (ll, (_, lower_aux)), g = jax.value_and_grad(
+                bank = self._retrieve(prev5, r)
+                (ll, (lfeats, lower_aux)), g = jax.value_and_grad(
                     self._level_loss, has_aux=True
-                )(learner, frame, state, r, "lower")
+                )(learner, frame, state, bank, "lower")
                 learner = jax.tree.map(
                     lambda p, gg: p - cfg.fastlr * gg, learner, g
                 )
                 lower_aux["loss"] = ll
+                prev5 = lfeats[5][0]
                 if cfg.record_lowerlevel:
                     pred = self._predict(learner, frame.image)
                     m = self._metrics(pred["verts"], frame)
@@ -279,11 +301,16 @@ class BilevelEngine:
             # forward of iteration n runs at the post-update params of
             # iteration n-1 (dynaboa_benchmark.py:147-192).  Folding the
             # first update into the loop body halves the number of
-            # backbone-gradient instances XLA has to compile.
+            # backbone-gradient instances XLA has to compile.  Retrieval in
+            # iteration n keys off the features of params_n (the carried
+            # post-update snapshot of iteration n-1), matching the
+            # reference's own-forward features for n >= 1 and one inner-step
+            # stale for n == 0 (documented divergence: feature deltas per
+            # update are ~cos_sim_threshold, far below cluster separation).
             max_updates = 1 + (cfg.optim_steps if cfg.dynamic_boa else 0)
 
             def cond(carry):
-                _, _, _, _, _, sim, n, _ = carry
+                _, _, _, _, _, _, sim, n, _ = carry
                 return jnp.logical_and(
                     n < max_updates,
                     jnp.logical_or(n == 0,
@@ -291,13 +318,15 @@ class BilevelEngine:
                 )
 
             def body(carry):
-                params, opt_state, teacher, rng, prev12, sim, n, first = carry
+                (params, opt_state, teacher, rng, prev5, prev12, sim, n,
+                 first) = carry
                 rng, r = jax.random.split(rng)
                 eval_params = jax.lax.cond(
                     n == 0, lambda: learner, lambda: params)
+                bank = self._retrieve(prev5, r)
                 (ul, (_, aux)), g = jax.value_and_grad(
                     self._level_loss, has_aux=True
-                )(eval_params, frame, state, r, "upper")
+                )(eval_params, frame, state, bank, "upper")
                 aux["loss"] = ul
                 params, opt_state = self._outer_update(g, params, opt_state)
                 if cfg.use_meanteacher:
@@ -307,26 +336,26 @@ class BilevelEngine:
                 sim = feature_cosine_similarities((prev12,), (post12,))[0]
                 first = jax.tree.map(
                     lambda a, b: jnp.where(n == 0, a, b), aux, first)
-                return (params, opt_state, teacher, rng, post12, sim, n + 1,
-                        first)
+                return (params, opt_state, teacher, rng, feats_post[5][0],
+                        post12, sim, n + 1, first)
 
             # aux-log structure template (zeros; filled by iteration 0).
             # eval_shape traces without compiling, so this adds no HLO.
+            bank_t = self._retrieve(prev5, rng)
             aux_shapes = jax.eval_shape(
-                lambda p: self._level_loss(p, frame, state, rng, "upper")[1][1],
+                lambda p: self._level_loss(
+                    p, frame, state, bank_t, "upper")[1][1],
                 learner)
             aux_t = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes)
+                lambda sh: jnp.zeros(sh.shape, sh.dtype), aux_shapes)
             aux_t["loss"] = jnp.zeros(())
 
-            init12 = init_feats[12]
-            (params, opt_state, teacher, rng, _, sim12, nupd, upper_aux) = (
-                jax.lax.while_loop(
-                    cond, body,
-                    (state.params, state.opt_state, state.teacher_params,
-                     rng, init12, jnp.zeros(()), jnp.zeros((), jnp.int32),
-                     aux_t),
-                )
+            (params, opt_state, teacher, rng, _, _, sim12, nupd,
+             upper_aux) = jax.lax.while_loop(
+                cond, body,
+                (state.params, state.opt_state, state.teacher_params,
+                 rng, prev5, init_feats[12],
+                 jnp.zeros(()), jnp.zeros((), jnp.int32), aux_t),
             )
             outputs["upper"] = upper_aux
             outputs["optim_steps"] = nupd - 1      # extra steps beyond the 1st
@@ -335,9 +364,11 @@ class BilevelEngine:
             # plain single-level online adaptation (reference
             # dynaboa_benchmark.py:194-201)
             rng, r = jax.random.split(rng)
+            _, _, _, init_feats0 = self._forward(state.params, frame.image)
+            bank = self._retrieve(init_feats0[5][0], r)
             (ll, (_, lower_aux)), g = jax.value_and_grad(
                 self._level_loss, has_aux=True
-            )(state.params, frame, state, r, "lower")
+            )(state.params, frame, state, bank, "lower")
             lower_aux["loss"] = ll
             outputs["lower"] = lower_aux
             params, opt_state = self._outer_update(

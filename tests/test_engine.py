@@ -154,8 +154,7 @@ class TestBilevelStep:
 
         @jax.jit
         def lower(p):
-            loss, _ = eng._level_loss(p, frame, state, jax.random.PRNGKey(0),
-                                      "lower")
+            loss, _ = eng._level_loss(p, frame, state, None, "lower")
             return loss
 
         l0 = float(lower(params))
