@@ -30,11 +30,25 @@ FRAME_STRIDE = 5
 
 def _cdf_frame_count(path: str) -> int | None:
     try:
-        from spacepy import pycdf  # optional C dependency
+        # in-repo pure-python CDF reader (replaces spacepy pycdf)
+        from dynaboa_tpu.data.preprocess.cdf import read_cdf
+
+        return int(read_cdf(path)["Pose"][0].shape[0])
+    except Exception:
+        pass
+    try:
+        from spacepy import pycdf  # optional C fallback
 
         return int(pycdf.CDF(path)["Pose"][0].shape[0])
     except Exception:
         return None
+
+
+def read_pose_cdf(path: str):
+    """Read an H36M D3_Positions_mono archive -> (frames, 96) float64."""
+    from dynaboa_tpu.data.preprocess.cdf import read_cdf
+
+    return read_cdf(path)["Pose"][0]
 
 
 def h36m_train_extract(dataset_path: str, training_split: bool = True,
