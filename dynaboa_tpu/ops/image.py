@@ -268,3 +268,70 @@ def uncrop_bounds(center, scale, crop_res, orig_shape):
     reference dataprocess.py:98-123 geometry."""
     ul, br = crop_bounds(center, scale, crop_res)
     return ul, br, orig_shape
+
+
+# ---------------------------------------------------------------------------
+# Augmentation helpers (reference dataprocess.py:125-164)
+# ---------------------------------------------------------------------------
+
+def rot_aa(aa: np.ndarray, rot: float) -> np.ndarray:
+    """Rotate an axis-angle global orientation by an in-plane image rotation
+    of ``rot`` degrees (reference dataprocess.py:125-136; implemented on the
+    framework's own rotation ops instead of cv2.Rodrigues)."""
+    import jax.numpy as jnp
+
+    from dynaboa_tpu.ops.rotations import batch_rodrigues, rotmat_to_aa
+
+    R = np.array([
+        [np.cos(np.deg2rad(-rot)), -np.sin(np.deg2rad(-rot)), 0],
+        [np.sin(np.deg2rad(-rot)), np.cos(np.deg2rad(-rot)), 0],
+        [0, 0, 1],
+    ])
+    per = np.asarray(batch_rodrigues(jnp.asarray(aa, jnp.float32)[None]))[0]
+    res = np.asarray(rotmat_to_aa(jnp.asarray((R @ per)[None],
+                                              jnp.float32)))[0]
+    return res.astype(aa.dtype)
+
+
+def flip_img(img: np.ndarray) -> np.ndarray:
+    """Horizontal image flip (reference dataprocess.py:138-143)."""
+    return np.fliplr(img)
+
+
+def flip_kp(kp: np.ndarray) -> np.ndarray:
+    """Flip keypoints with the left/right permutation for 24- or 49-joint
+    layouts (reference dataprocess.py:145-153)."""
+    if len(kp) == 24:
+        perm = constants.J24_FLIP_PERM
+    elif len(kp) == 49:
+        perm = constants.J49_FLIP_PERM
+    else:
+        raise ValueError(f"no flip permutation for {len(kp)} joints")
+    kp = kp[perm].copy()
+    kp[:, 0] = -kp[:, 0]
+    return kp
+
+
+def flip_pose(pose: np.ndarray) -> np.ndarray:
+    """Flip SMPL axis-angle parameters (reference dataprocess.py:155-164)."""
+    pose = pose[constants.SMPL_POSE_FLIP_PERM].copy()
+    pose[1::3] = -pose[1::3]
+    pose[2::3] = -pose[2::3]
+    return pose
+
+
+def uncrop(img: np.ndarray, center, scale, orig_shape) -> np.ndarray:
+    """Place a crop back into original-image coordinates
+    (reference dataprocess.py:98-123)."""
+    res = img.shape[:2]
+    ul, br = crop_bounds(center, scale, res)
+    crop_shape = [br[1] - ul[1], br[0] - ul[0]]
+    new_img = np.zeros(orig_shape, dtype=np.uint8)
+    new_x = max(0, -ul[0]), min(br[0], orig_shape[1]) - ul[0]
+    new_y = max(0, -ul[1]), min(br[1], orig_shape[0]) - ul[1]
+    old_x = max(0, ul[0]), min(orig_shape[1], br[0])
+    old_y = max(0, ul[1]), min(orig_shape[0], br[1])
+    resized = resize_bilinear_np(img, crop_shape, anti_aliasing=False)
+    new_img[old_y[0]:old_y[1], old_x[0]:old_x[1]] = resized[
+        new_y[0]:new_y[1], new_x[0]:new_x[1]]
+    return new_img

@@ -153,3 +153,69 @@ def keypoint_hflip(kp: np.ndarray, img_width: float) -> np.ndarray:
     kp = kp.copy()
     kp[..., 0] = (img_width - 1.0) - kp[..., 0]
     return kp
+
+
+# ---------------------------------------------------------------------------
+# Skeleton edge tables (bone connectivity per format, for visualization;
+# reference kp_utils.py get_*_skeleton functions)
+# ---------------------------------------------------------------------------
+
+SKELETONS: dict[str, tuple[tuple[int, int], ...]] = {
+    "spin": (
+        (0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 7), (1, 8),
+        (8, 9), (9, 10), (10, 11), (8, 12), (12, 13), (13, 14), (0, 15),
+        (0, 16), (15, 17), (16, 18), (21, 19), (19, 20), (14, 21), (11, 24),
+        (24, 22), (22, 23), (0, 38),
+    ),
+    "coco": (
+        (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
+        (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
+        (1, 3), (2, 4), (3, 5), (4, 6),
+    ),
+    "common": (
+        (0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8), (8, 2), (8, 9),
+        (9, 3), (2, 3), (8, 12), (9, 10), (12, 9), (10, 11), (12, 13),
+    ),
+    "mpii": (
+        (0, 1), (1, 2), (2, 6), (6, 3), (3, 4), (4, 5), (6, 7), (7, 8),
+        (8, 9), (7, 12), (12, 11), (11, 10), (7, 13), (13, 14), (14, 15),
+    ),
+    "smpl": (
+        (0, 1), (0, 2), (0, 3), (1, 4), (2, 5), (3, 6), (4, 7), (5, 8),
+        (6, 9), (7, 10), (8, 11), (9, 12), (9, 13), (9, 14), (12, 15),
+        (13, 16), (14, 17), (16, 18), (17, 19), (18, 20), (19, 21),
+        (20, 22), (21, 23),
+    ),
+    "3dpw": (
+        (0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 7), (2, 8),
+        (5, 11), (8, 11), (8, 9), (9, 10), (11, 12), (12, 13),
+    ),
+    "smplcoco": (
+        (0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8), (8, 12), (12, 9),
+        (9, 10), (10, 11), (12, 13), (14, 15), (15, 17), (16, 18), (14, 16),
+        (8, 2), (9, 3), (2, 3),
+    ),
+    "aich": (
+        (0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8), (9, 10), (10, 11),
+        (12, 13), (13, 0), (13, 3), (0, 6), (3, 9),
+    ),
+    "staf": (
+        (0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 7), (1, 8),
+        (8, 9), (9, 10), (10, 11), (8, 12), (12, 13), (13, 14), (0, 15),
+        (0, 16), (15, 17), (16, 18), (2, 9), (5, 12), (1, 19), (20, 19),
+    ),
+    "insta": (
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (8, 9),
+        (9, 10), (2, 8), (3, 9), (10, 11), (8, 12), (9, 12), (12, 13),
+        (12, 14), (14, 15), (14, 16), (15, 17), (16, 18), (0, 20), (20, 22),
+        (5, 19), (19, 21), (5, 23), (0, 24),
+    ),
+}
+
+
+def get_skeleton(fmt: str) -> np.ndarray:
+    """Bone edge list for a skeleton format, as an (E, 2) int array."""
+    try:
+        return np.asarray(SKELETONS[fmt], dtype=np.int32)
+    except KeyError as e:
+        raise ValueError(f"no skeleton table for format {fmt!r}") from e

@@ -96,3 +96,41 @@ def compute_pck(s1: jnp.ndarray, s2: jnp.ndarray, threshold: float) -> jnp.ndarr
       (B,) fraction of joints within ``threshold``.
     """
     return (jnp.linalg.norm(s1 - s2, axis=-1) < threshold).mean(axis=-1)
+
+
+def reconstruction_error_full(
+    S1: jnp.ndarray,
+    S2: jnp.ndarray,
+    needpck: bool = False,
+    needauc: bool = False,
+    reduction: str = "mean",
+):
+    """Procrustes-aligned reconstruction error with optional PCK@150mm and
+    AUC over 0..150 mm thresholds (reference pose_utils.py:76-114, PoseAug
+    AUC recipe).
+
+    Returns ``re`` or ``(re, pck)`` / ``(re, auc)`` / ``(re, pck, auc)``.
+    """
+    import numpy as _np
+
+    pck_150 = compute_pck(S1, S2, 0.15) if needpck else None
+    auc = None
+    if needauc:
+        thresholds = _np.linspace(0, 150, 31)
+        pcks = jnp.stack([compute_pck(S1, S2, float(t) / 1000.0)
+                          for t in thresholds])
+        auc = pcks.mean()
+
+    re = reconstruction_error(S1, S2)
+    if reduction == "mean":
+        re = re.mean()
+    elif reduction == "sum":
+        re = re.sum()
+
+    if needauc and needpck:
+        return re, pck_150, auc
+    if needauc:
+        return re, auc
+    if needpck:
+        return re, pck_150
+    return re

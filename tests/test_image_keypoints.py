@@ -128,3 +128,43 @@ class TestKeypoints:
         kp = np.array([[10.0, 5.0], [0.0, 0.0]])
         out = K.keypoint_hflip(kp, 100)
         np.testing.assert_allclose(out[:, 0], [89.0, 99.0])
+
+
+class TestAugmentationHelpers:
+    def test_flip_kp_involution(self, rng):
+        kp = rng.normal(size=(49, 3))
+        out = I.flip_kp(I.flip_kp(kp))
+        np.testing.assert_allclose(out, kp)
+
+    def test_flip_pose_involution(self, rng):
+        pose = rng.normal(size=(72,))
+        np.testing.assert_allclose(I.flip_pose(I.flip_pose(pose)), pose)
+
+    def test_rot_aa_zero_is_identity(self, rng):
+        aa = rng.normal(scale=0.3, size=3).astype(np.float32)
+        np.testing.assert_allclose(I.rot_aa(aa, 0.0), aa, atol=1e-5)
+
+    def test_rot_aa_composes_image_rotation(self):
+        # rotating a z-axis orientation by `rot` degrees adds to its angle
+        aa = np.array([0.0, 0.0, 0.3], np.float32)
+        out = I.rot_aa(aa, -30.0)
+        np.testing.assert_allclose(
+            out, [0.0, 0.0, 0.3 + np.deg2rad(30)], atol=1e-5)
+
+    def test_uncrop_restores_patch_region(self, rng):
+        img = (rng.uniform(0, 255, size=(100, 100, 3))).astype(np.float64)
+        center, scale = [50.0, 50.0], 0.25  # 50x50 box inside the image
+        crop = I.crop_numpy(img, center, scale, [50, 50],
+                            anti_aliasing=False)
+        restored = I.uncrop(crop, center, scale, (100, 100, 3))
+        ul, br = I.crop_bounds(center, scale, [50, 50])
+        inner = restored[ul[1] + 1:br[1] - 1, ul[0] + 1:br[0] - 1]
+        want = img[ul[1] + 1:br[1] - 1, ul[0] + 1:br[0] - 1]
+        assert np.abs(inner.astype(np.float64) - want).mean() < 2.0
+
+    def test_skeleton_tables(self):
+        sk = K.get_skeleton("spin")
+        assert sk.shape == (25, 2)
+        assert sk.max() < 49
+        with pytest.raises(ValueError):
+            K.get_skeleton("nope")
