@@ -73,23 +73,44 @@ def main():
     jax.block_until_ready(out["mpjpe"])
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
 
-    # timed run
+    # timed run (default config; synthetic frames converge quickly so the
+    # dynamic loop takes few extra steps — the upper bound of the fps range)
     n_frames = 40
     t0 = time.perf_counter()
+    extra = 0
     for i in range(n_frames):
         state, out = engine.step(state, frames[i % n_distinct])
+        extra += int(np.asarray(out["optim_steps"]))
     jax.block_until_ready(out["mpjpe"])
     dt = time.perf_counter() - t0
     fps = n_frames / dt
     log(f"{n_frames} adapted frames in {dt:.2f}s -> {fps:.2f} fps "
-        f"(mean extra steps observed in last frame: "
-        f"{int(np.asarray(out['optim_steps']))})")
+        f"({extra / n_frames:.2f} extra steps/frame)")
+
+    # worst case: force the similarity test to never converge, so every
+    # frame takes 1 + optim_steps updates (the reference's hardest frames)
+    wc_cfg = cfg.replace(cos_sim_threshold=-1.0)
+    wc_engine = build_system(wc_cfg, Paths(), synthetic_fallback=True).engine
+    wc_state = wc_engine.init_state(system.params)
+    t0 = time.perf_counter()
+    wc_state, out = wc_engine.step(wc_state, frames[0])
+    jax.block_until_ready(out["mpjpe"])
+    log(f"worst-case compile+first step: {time.perf_counter() - t0:.1f}s")
+    n_wc = 20
+    t0 = time.perf_counter()
+    for i in range(n_wc):
+        wc_state, out = wc_engine.step(wc_state, frames[i % n_distinct])
+    jax.block_until_ready(out["mpjpe"])
+    wc_fps = n_wc / (time.perf_counter() - t0)
+    log(f"worst case ({int(np.asarray(out['optim_steps']))} extra steps "
+        f"every frame): {wc_fps:.2f} fps")
 
     print(json.dumps({
         "metric": "adapted_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
+        "worst_case_fps": round(wc_fps, 3),
     }))
 
 

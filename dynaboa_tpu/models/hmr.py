@@ -53,34 +53,38 @@ def _gn(name: str):
 
 
 class Bottleneck(nn.Module):
-    """ResNet bottleneck block with GroupNorm (reference hmr.py:21-60)."""
+    """ResNet bottleneck block with GroupNorm (reference hmr.py:21-60).
+
+    ``dtype`` sets the conv compute precision (bfloat16 feeds the MXU at
+    2x rate); GroupNorm statistics always reduce in float32.
+    """
 
     planes: int
     stride: int = 1
     has_downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        conv = lambda planes, name, **kw: nn.Conv(
+            planes, use_bias=False, kernel_init=_torch_conv_init,
+            dtype=self.dtype, name=name, **kw)
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False,
-                      kernel_init=_torch_conv_init, name="conv1")(x)
+        out = conv(self.planes, "conv1", kernel_size=(1, 1))(x)
         out = _gn("gn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False,
-                      kernel_init=_torch_conv_init, name="conv2")(out)
+        out = conv(self.planes, "conv2", kernel_size=(3, 3),
+                   strides=(self.stride, self.stride),
+                   padding=((1, 1), (1, 1)))(out)
         out = _gn("gn2")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
-                      kernel_init=_torch_conv_init, name="conv3")(out)
+        out = conv(self.planes * 4, "conv3", kernel_size=(1, 1))(out)
         out = _gn("gn3")(out)
         if self.has_downsample:
-            residual = nn.Conv(self.planes * 4, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, kernel_init=_torch_conv_init,
-                               name="down_conv")(x)
+            residual = conv(self.planes * 4, "down_conv", kernel_size=(1, 1),
+                            strides=(self.stride, self.stride))(x)
             residual = _gn("down_gn")(residual)
-        return nn.relu(out + residual)
+        return nn.relu(out + residual.astype(out.dtype))
 
 
 class _TailBlocks(nn.Module):
@@ -90,10 +94,12 @@ class _TailBlocks(nn.Module):
     into one compiled body, cutting XLA compile time several-fold."""
 
     planes: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, carry, _):
-        return Bottleneck(self.planes, name="block")(carry), None
+        return Bottleneck(self.planes, dtype=self.dtype,
+                          name="block")(carry), None
 
 
 class HMR(nn.Module):
@@ -108,15 +114,20 @@ class HMR(nn.Module):
     width: int = 64          # base channel count (64 = real ResNet-50)
     regressor_dim: int = 1024
     scan_blocks: bool = True  # lax.scan over each stage's tail blocks
+    compute_dtype: str = "float32"  # "bfloat16" runs backbone convs in bf16
     # SMPL mean parameters as plain tuples (hashable module constants; the
     # reference keeps them as buffers — hmr.py:100-106).
     mean_pose: tuple = tuple([0.0] * NPOSE)
     mean_shape: tuple = tuple([0.0] * 10)
     mean_cam: tuple = (0.9, 0.0, 0.0)
 
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
     def _stage(self, x, planes: int, blocks: int, stride: int, name: str):
         x = Bottleneck(planes, stride=stride, has_downsample=True,
-                       name=f"{name}_0")(x)
+                       dtype=self._dtype, name=f"{name}_0")(x)
         if blocks <= 1:
             return x
         if self.scan_blocks:
@@ -126,10 +137,11 @@ class HMR(nn.Module):
                 split_rngs={"params": True},
                 length=blocks - 1,
             )
-            x, _ = Scan(planes, name=f"{name}_tail")(x, None)
+            x, _ = Scan(planes, dtype=self._dtype, name=f"{name}_tail")(x, None)
         else:
             for b in range(1, blocks):
-                x = Bottleneck(planes, name=f"{name}_{b}")(x)
+                x = Bottleneck(planes, dtype=self._dtype,
+                               name=f"{name}_{b}")(x)
         return x
 
     @nn.compact
@@ -156,7 +168,7 @@ class HMR(nn.Module):
         w = self.width
         x = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=_torch_conv_init,
-                    name="conv1")(x)
+                    dtype=self._dtype, name="conv1")(x)
         features.append(x)                       # tap 0: pre-GN conv1 out
         x = _gn("gn1")(x)
         x = nn.relu(x)
@@ -171,7 +183,7 @@ class HMR(nn.Module):
         x = self._stage(x, 8 * w, self.layers[3], 2, "layer4")
         features.append(x)                       # tap 4
 
-        xf = jnp.mean(x, axis=(1, 2))            # avgpool(7) -> (B, 2048)
+        xf = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # avgpool -> (B, 2048)
         features.append(xf)                      # tap 5: retrieval feature
 
         if init_pose is None:
@@ -409,7 +421,7 @@ class HMRISO(nn.Module):
         w = self.width
         x = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=_torch_conv_init,
-                    name="conv1")(x)
+                    dtype=self._dtype, name="conv1")(x)
         x = nn.relu(self._bn("bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         planes = [w, 2 * w, 4 * w, 8 * w]
