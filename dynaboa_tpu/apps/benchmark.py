@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--chunk_size", type=int, default=1,
+                   help="frames per lax.scan dispatch (offline throughput)")
+    p.add_argument("--tiny", type=int, default=0,
+                   help="CI smoke mode: tiny network + body model")
     return p
 
 
@@ -118,7 +122,10 @@ def main(argv=None):
     write_settings(exppath, args)
     cfg = cfg_from_args(args)
     paths = Paths(basemodel=args.model_file)
-    system = build_system(cfg, paths)
+    tiny = dict(model_kwargs=dict(layers=(1, 1, 1, 1), width=16,
+                                  regressor_dim=128),
+                num_vertices=256) if args.tiny else {}
+    system = build_system(cfg, paths, **tiny)
     if any(system.synthetic.values()):
         print(f"---> synthetic stand-ins active: "
               f"{[k for k, v in system.synthetic.items() if v]}")
@@ -137,7 +144,8 @@ def main(argv=None):
     )
     state = system.engine.init_state(system.params)
     _, summary = runner.run(stream, state, resume_from=args.resume,
-                            max_frames=args.max_frames)
+                            max_frames=args.max_frames,
+                            chunk_size=args.chunk_size)
     return summary
 
 

@@ -83,12 +83,16 @@ def build_system(
     synthetic_fallback: bool = True,
     compute_metrics: bool = True,
     img_res: int = constants.IMG_RES,
+    model_kwargs: dict | None = None,
+    num_vertices: int | None = None,
 ) -> System:
+    """``model_kwargs``/``num_vertices`` shrink the network and body model
+    (CI smoke mode; real checkpoints require the full defaults)."""
     paths = paths or Paths()
     synthetic: dict[str, bool] = {}
 
     # model + pretrained weights (reference set_model_optim, base_adaptor.py:112-127)
-    if os.path.exists(paths.basemodel):
+    if os.path.exists(paths.basemodel) and not model_kwargs:
         model, params = load_basemodel(paths.basemodel)
         synthetic["weights"] = False
     else:
@@ -96,13 +100,14 @@ def build_system(
             paths.smpl_mean_params) else None
         from dynaboa_tpu.models.hmr import hmr as hmr_factory
 
-        model = hmr_factory(mean)
+        model = hmr_factory(mean, **(model_kwargs or {}))
         params = init_hmr_params(model, jax.random.PRNGKey(cfg.seed),
                                  input_shape=(1, img_res, img_res, 3))
         synthetic["weights"] = True
 
     # SMPL bodies + evaluation regressor (reference setup_smpl)
-    smpls, real = build_smpls(paths, synthetic_fallback)
+    smpls, real = build_smpls(paths, synthetic_fallback,
+                              num_vertices=num_vertices)
     synthetic["smpl"] = not real
 
     # GMM pose prior (reference set_criterion)
@@ -122,14 +127,17 @@ def build_system(
             "cluster_res_random_sample_center_10_10_potocol2.pt")
         source_file = os.path.join(
             paths.retrieval_res, "h36m_random_sample_center_10_10.pt")
-        if os.path.exists(cluster_file) and os.path.exists(source_file):
+        if (os.path.exists(cluster_file) and os.path.exists(source_file)
+                and not model_kwargs):
             from dynaboa_tpu.engine.retrieval import load_reference_store
 
             store = load_reference_store(paths.retrieval_res, source_file,
                                          paths.h36m_root)
             synthetic["retrieval"] = False
         else:
-            store = synthetic_store(seed=cfg.seed, img_res=img_res)
+            width = (model_kwargs or {}).get("width", 64)
+            store = synthetic_store(seed=cfg.seed, img_res=img_res,
+                                    feat_dim=width * 8 * 4)
             synthetic["retrieval"] = True
 
     engine = BilevelEngine(cfg, model, prior, smpls, store,

@@ -35,7 +35,10 @@ def main(argv=None):
     cfg = cfg_from_args(args)
     paths = Paths(basemodel=args.model_file)
     # unlabeled stream: metrics are undefined, predictions are the output
-    system = build_system(cfg, paths, compute_metrics=False)
+    tiny = dict(model_kwargs=dict(layers=(1, 1, 1, 1), width=16,
+                                  regressor_dim=128),
+                num_vertices=256) if getattr(args, "tiny", 0) else {}
+    system = build_system(cfg, paths, compute_metrics=False, **tiny)
 
     if args.synthetic:
         stream = SyntheticStream(num_frames=args.synthetic, seed=args.seq_seed)

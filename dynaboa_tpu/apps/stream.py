@@ -98,7 +98,10 @@ def main(argv=None):
     write_settings(exppath, args)
     cfg = cfg_from_args(args).replace(keypoint_source="openpose")
     paths = Paths(basemodel=args.model_file)
-    system = build_system(cfg, paths, compute_metrics=False)
+    tiny = dict(model_kwargs=dict(layers=(1, 1, 1, 1), width=16,
+                                  regressor_dim=128),
+                num_vertices=256) if getattr(args, "tiny", 0) else {}
+    system = build_system(cfg, paths, compute_metrics=False, **tiny)
     engine = system.engine
     state = engine.init_state(system.params)
 

@@ -96,8 +96,37 @@ class BilevelEngine:
             raise ValueError("mixtrain+retrieval requires a RetrievalStore")
         self.tx = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2,
                              eps=1e-8, eps_root=0.0)
-        self.step = jax.jit(self._step)
+        # the similarity threshold enters as a traced scalar so threshold
+        # sweeps (and the worst-case benchmark) reuse one compiled program
+        self._thr = jnp.float32(cfg.cos_sim_threshold)
+        self._jit_step = jax.jit(self._step)
         self.predict = jax.jit(self._predict)
+        self._jit_chunk = jax.jit(self._run_chunk)
+
+    def step(self, state: AdaptState, frame: Frame,
+             cos_sim_threshold=None):
+        thr = self._thr if cos_sim_threshold is None else jnp.float32(
+            cos_sim_threshold)
+        return self._jit_step(state, frame, thr)
+
+    def run_chunk(self, state: AdaptState, frames: Frame,
+                  cos_sim_threshold=None):
+        thr = self._thr if cos_sim_threshold is None else jnp.float32(
+            cos_sim_threshold)
+        return self._jit_chunk(state, frames, thr)
+
+    def _run_chunk(self, state: AdaptState, frames: Frame, thr):
+        """Adapt over a chunk of frames with ``lax.scan`` — one dispatch for
+        N frames (offline benchmark mode; SURVEY §5 'keep the adapt-then-
+        predict step fully resident').
+
+        Args:
+          frames: Frame whose leaves have a leading chunk axis (N, B, ...).
+        Returns:
+          (final state, per-frame stacked outputs).
+        """
+        return jax.lax.scan(
+            lambda st, fr: self._step(st, fr, thr), state, frames)
 
     # -- model wrappers ----------------------------------------------------
 
@@ -258,8 +287,10 @@ class BilevelEngine:
 
     # -- the per-frame program ----------------------------------------------
 
-    def _step(self, state: AdaptState, frame: Frame):
+    def _step(self, state: AdaptState, frame: Frame, cos_sim_threshold=None):
         cfg = self.cfg
+        thr = (jnp.float32(cfg.cos_sim_threshold)
+               if cos_sim_threshold is None else cos_sim_threshold)
         rng = state.rng
         outputs: dict[str, Any] = {}
 
@@ -313,8 +344,7 @@ class BilevelEngine:
                 _, _, _, _, _, _, sim, n, _ = carry
                 return jnp.logical_and(
                     n < max_updates,
-                    jnp.logical_or(n == 0,
-                                   (1.0 - sim) > cfg.cos_sim_threshold),
+                    jnp.logical_or(n == 0, (1.0 - sim) > thr),
                 )
 
             def body(carry):

@@ -85,7 +85,11 @@ class StreamRunner:
         keypoint_source: str = "gt",
         resume_from: str | None = None,
         max_frames: int | None = None,
+        chunk_size: int = 1,
     ) -> tuple[AdaptState, dict]:
+        """chunk_size > 1 dispatches lax.scan chunks (one XLA call per
+        ``chunk_size`` frames) instead of per-frame steps — higher offline
+        throughput, identical results (tested seam)."""
         state = init_state
         start = 0
         if resume_from and osp.exists(resume_from):
@@ -97,28 +101,55 @@ class StreamRunner:
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
         try:
+            pending: list[tuple[int, "Frame"]] = []
+
+            def flush():
+                nonlocal state
+                if not pending:
+                    return
+                idxs = [i for i, _ in pending]
+                t0 = time.perf_counter()
+                if len(pending) == 1:
+                    state, out = self.engine.step(state, pending[0][1])
+                    outs = [jax.tree.map(np.asarray, out)]
+                else:
+                    import jax.numpy as jnp
+
+                    stacked = Frame(*[
+                        jnp.stack([getattr(f, k) for _, f in pending])
+                        for k in Frame._fields])
+                    state, outs_stacked = self.engine.run_chunk(state, stacked)
+                    outs_stacked = jax.tree.map(np.asarray, outs_stacked)
+                    outs = [jax.tree.map(lambda a, j=j: a[j], outs_stacked)
+                            for j in range(len(pending))]
+                dt = (time.perf_counter() - t0) / len(pending)
+                for (i, _), out in zip(pending, outs):
+                    self.step_times.append(dt)
+                    self._record(i, out)
+                pending.clear()
+
             for i, item in enumerate(iter(stream)):
                 if i < start:
                     continue
                 if max_frames is not None and i >= max_frames:
                     break
                 frame = frame_from_item(item, keypoint_source)
-                t0 = time.perf_counter()
                 with jax.profiler.StepTraceAnnotation("boa_step", step_num=i):
-                    state, out = self.engine.step(state, frame)
-                    out = jax.tree.map(np.asarray, out)
-                self.step_times.append(time.perf_counter() - t0)
-                self._record(i, out)
+                    pending.append((i, frame))
+                    if len(pending) >= chunk_size:
+                        flush()
 
                 if self.checkpoint_every and (i + 1) % self.checkpoint_every == 0:
+                    flush()
                     save_state(osp.join(self.exppath, "checkpoint.npz"), state)
-                if (i + 1) % self.log_every == 0:
+                if (i + 1) % self.log_every == 0 and self.mpjpe_all:
                     print(
                         f"Step:{i}: MPJPE:{np.mean(self.mpjpe_all):.2f}, "
                         f"PAMPJPE:{np.mean(self.pampjpe_all):.2f}, "
                         f"PVE:{np.mean(self.pve_all):.2f}, "
                         f"{1.0 / np.mean(self.step_times[-self.log_every:]):.2f} fps"
                     )
+            flush()
         finally:
             if self.profile_dir:
                 jax.profiler.stop_trace()

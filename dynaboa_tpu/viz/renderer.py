@@ -138,3 +138,17 @@ def save_obj(path: str, verts: np.ndarray, faces: np.ndarray):
             f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         for t in faces + 1:
             f.write(f"f {t[0]} {t[1]} {t[2]}\n")
+
+
+def revert_to_bbox(center, scale, height: float = 200.0,
+                   scale_factor: float = 1.0):
+    """(center, scale) -> (cx, cy, h) bbox (reference render_demo.py:155-160)."""
+    h = scale * height / scale_factor
+    return [center[0], center[1], h]
+
+
+def parse_cam(cam_t: np.ndarray) -> np.ndarray:
+    """Invert the weak-perspective translation back to (s, tx, ty)
+    (reference render_demo.py:162-165): cam_t = [tx, ty, 2f/(res*s)]."""
+    s = (2.0 * 5000.0 / cam_t[:, 2] - 1e-9) / 224.0
+    return np.stack([s, cam_t[:, 0], cam_t[:, 1]], axis=1)

@@ -216,3 +216,25 @@ class TestFirstOrderMAMLSemantics:
         got = np.asarray(optax.apply_updates(wj, up))
 
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestChunkedScan:
+    def test_scan_matches_stepwise(self, engine_capped, rng):
+        """lax.scan over a frame chunk must produce the same final state as
+        stepping frame by frame."""
+        eng, params = engine_capped
+        frames = [make_frame(rng) for _ in range(3)]
+
+        s_loop = eng.init_state(params, img_res=IMG)
+        for f in frames:
+            s_loop, _ = eng.step(s_loop, f)
+
+        stacked = Frame(*[jnp.stack([getattr(f, k) for f in frames])
+                          for k in Frame._fields])
+        s_scan, outs = eng.run_chunk(eng.init_state(params, img_res=IMG),
+                                     stacked)
+        assert outs["mpjpe"].shape[0] == 3
+        for a, b in zip(jax.tree.leaves(s_loop.params),
+                        jax.tree.leaves(s_scan.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
