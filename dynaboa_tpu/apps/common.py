@@ -94,13 +94,17 @@ def build_system(
     # model + pretrained weights (reference set_model_optim, base_adaptor.py:112-127)
     if os.path.exists(paths.basemodel) and not model_kwargs:
         model, params = load_basemodel(paths.basemodel)
+        if cfg.compute_dtype != model.compute_dtype:
+            model = model.clone(compute_dtype=cfg.compute_dtype)
         synthetic["weights"] = False
     else:
         mean = paths.smpl_mean_params if os.path.exists(
             paths.smpl_mean_params) else None
         from dynaboa_tpu.models.hmr import hmr as hmr_factory
 
-        model = hmr_factory(mean, **(model_kwargs or {}))
+        mk = dict(model_kwargs or {})
+        mk.setdefault("compute_dtype", cfg.compute_dtype)
+        model = hmr_factory(mean, **mk)
         params = init_hmr_params(model, jax.random.PRNGKey(cfg.seed),
                                  input_shape=(1, img_res, img_res, 3))
         synthetic["weights"] = True

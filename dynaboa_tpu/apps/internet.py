@@ -47,7 +47,10 @@ def main(argv=None):
 
     runner = StreamRunner(system.engine, exppath, save_predictions=True,
                           checkpoint_every=args.checkpoint_every,
-                          profile_dir=args.profile_dir)
+                          profile_dir=args.profile_dir,
+                          save_overlays=bool(getattr(args, "save_res", 0)),
+                          img_root=paths.internet_root,
+                          faces=system.smpls.neutral.faces)
     state = system.engine.init_state(system.params)
     _, summary = runner.run(stream, state, resume_from=args.resume,
                             max_frames=args.max_frames)

@@ -67,6 +67,18 @@ class AdaptConfig:
 
     seed: int = 22
 
+    # Pallas fused-skinning kernel for the no-grad SMPL decodes (final
+    # prediction / metrics).  The in-loss decode always uses the einsum path
+    # (the kernel has no VJP).  Off by default: measure with tools/bench_lbs.py
+    # on the target platform first.
+    use_pallas_lbs: bool = False
+
+    # backbone conv compute precision: "bfloat16" feeds the MXU at 2x rate
+    # (GroupNorm statistics and the regressor stay float32; params, optimizer
+    # state and all updates stay float32 — this is mixed-precision compute,
+    # not low-precision training)
+    compute_dtype: str = "float32"
+
     # keypoint source for the 2D losses: 'gt' uses joints [25:] (benchmark /
     # internet paths), 'openpose' uses joints [:25] (webcam path,
     # dynaboa_webcam.py:249-254)

@@ -56,6 +56,20 @@ def crop_and_normalize(img: np.ndarray, center, scale):
     return out
 
 
+def pad_raw_frame(img: np.ndarray, pad_shape: tuple[int, int]) -> np.ndarray:
+    """Zero-pad a raw frame to the stream's static shape (fused-preprocess
+    mode).  Zero padding is exactly what the host crop would have produced
+    for out-of-image taps (reference dataprocess.py:48-96), so a crop box
+    touching the pad region reads identical values on both paths."""
+    h, w = img.shape[:2]
+    ph, pw = pad_shape
+    if h > ph or w > pw:
+        raise ValueError(f"frame {img.shape[:2]} exceeds pad_shape {pad_shape}")
+    out = np.zeros((ph, pw, 3), img.dtype)
+    out[:h, :w] = img
+    return out
+
+
 class PW3DStream:
     """3DPW test-set stream for the #PS protocol.
 
@@ -63,7 +77,9 @@ class PW3DStream:
     ``dynaboa_tpu.data.preprocess.pw3d``) in the reference's fixed order.
     """
 
-    def __init__(self, npz_dir: str, img_root: str, prefetch: int = 8):
+    def __init__(self, npz_dir: str, img_root: str, prefetch: int = 8,
+                 fused_preprocess: bool = False,
+                 pad_shape: tuple[int, int] = (1920, 1920)):
         paths = glob.glob(osp.join(npz_dir, "3dpw_[0-9]*_[0-9].npz"))
         paths.sort(key=_sort_key_3dpw)
         if not paths:
@@ -71,6 +87,8 @@ class PW3DStream:
         self.seq_paths = paths
         self.img_root = img_root
         self.prefetch = prefetch
+        self.fused_preprocess = fused_preprocess
+        self.pad_shape = pad_shape
 
         fields = {k: [] for k in
                   ("imgname", "scale", "center", "pose", "shape", "j2d",
@@ -112,8 +130,16 @@ class PW3DStream:
     def _load(self, i: int) -> dict:
         img = _imread_rgb(osp.join(self.img_root, str(self.imgname[i])))
         center, scale = self.center[i], float(self.scale[i])
-        item = {
-            "image": crop_and_normalize(img, center, scale),
+        if self.fused_preprocess:
+            item = {
+                "raw_image": pad_raw_frame(img, self.pad_shape).astype(
+                    np.uint8),
+                "center": np.asarray(center, np.float32),
+                "scale": np.float32(scale),
+            }
+        else:
+            item = {"image": crop_and_normalize(img, center, scale)}
+        item |= {
             "smpl_j2d": I.normalize_j2d(self.j2d[i], center, scale),
             "op_j2d": I.normalize_j2d(self.op_j2d[i], center, scale),
             "pose": self.pose[i],
@@ -136,7 +162,11 @@ class InternetStream:
     conf, produced by the AlphaPose extractor in data.preprocess.internet).
     """
 
-    def __init__(self, root: str, prefetch: int = 8):
+    def __init__(self, root: str, prefetch: int = 8,
+                 fused_preprocess: bool = False,
+                 pad_shape: tuple[int, int] = (1920, 1920)):
+        self.fused_preprocess = fused_preprocess
+        self.pad_shape = pad_shape
         self.imgdir = osp.join(root, "images")
         paths = sorted(glob.glob(osp.join(root, "*.npz")))
         if not paths:
@@ -160,8 +190,16 @@ class InternetStream:
     def _load(self, i: int) -> dict:
         img = _imread_rgb(osp.join(self.imgdir, str(self.imgname[i])))
         center, scale = self.center[i], float(self.scale[i])
-        return {
-            "image": crop_and_normalize(img, center, scale),
+        if self.fused_preprocess:
+            head = {
+                "raw_image": pad_raw_frame(img, self.pad_shape).astype(
+                    np.uint8),
+                "center": np.asarray(center, np.float32),
+                "scale": np.float32(scale),
+            }
+        else:
+            head = {"image": crop_and_normalize(img, center, scale)}
+        return head | {
             "smpl_j2d": I.normalize_j2d(self.j2d[i], center, scale),
             "pose": np.zeros(72, np.float32),
             "betas": np.zeros(10, np.float32),
@@ -197,17 +235,34 @@ class SyntheticStream:
     backs tests and the no-data benchmark mode."""
 
     def __init__(self, num_frames: int = 16, img_res: int = constants.IMG_RES,
-                 seed: int = 0):
+                 seed: int = 0, fused_preprocess: bool = False):
+        """``fused_preprocess=True`` emits raw uint8 frames + (center, scale)
+        instead of host-cropped images, exercising the on-device
+        ``fused_crop_resize_normalize`` path end-to-end."""
         self.n = num_frames
         self.img_res = img_res
+        self.fused_preprocess = fused_preprocess
         self.rng = np.random.default_rng(seed)
         self._frames = [self._make(i) for i in range(num_frames)]
 
+    def _make_raw(self, r) -> dict:
+        # spatially smooth content (8x8 blocks) so the host anti-aliasing
+        # filter and the device supersampled box filter agree closely
+        raw_res = self.img_res * 2
+        low = r.integers(0, 256, size=(raw_res // 8, raw_res // 8, 3))
+        raw = np.kron(low, np.ones((8, 8, 1))).astype(np.uint8)
+        center = np.asarray([raw_res / 2.0, raw_res / 2.0], np.float32)
+        scale = np.float32(self.img_res * 1.1 / 200.0)
+        return {"raw_image": raw, "center": center, "scale": scale}
+
     def _make(self, i: int) -> dict:
         r = self.rng
-        return {
-            "image": r.normal(size=(self.img_res, self.img_res, 3)
-                              ).astype(np.float32),
+        if self.fused_preprocess:
+            head = self._make_raw(r)
+        else:
+            head = {"image": r.normal(
+                size=(self.img_res, self.img_res, 3)).astype(np.float32)}
+        return head | {
             "smpl_j2d": np.concatenate([
                 r.uniform(-1, 1, size=(49, 2)), np.ones((49, 1))], -1
             ).astype(np.float32),

@@ -96,12 +96,24 @@ class BilevelEngine:
             raise ValueError("mixtrain+retrieval requires a RetrievalStore")
         self.tx = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2,
                              eps=1e-8, eps_root=0.0)
+        self._pallas_smpl = None
+        if cfg.use_pallas_lbs:
+            from dynaboa_tpu.kernels.lbs import PallasSMPL
+
+            self._pallas_smpl = PallasSMPL(
+                smpls.neutral, interpret=jax.default_backend() != "tpu")
         # the similarity threshold enters as a traced scalar so threshold
         # sweeps (and the worst-case benchmark) reuse one compiled program
         self._thr = jnp.float32(cfg.cos_sim_threshold)
-        self._jit_step = jax.jit(self._step)
+        # The AdaptState carry is donated: params/opt/teacher/history update
+        # in place in HBM instead of being copied every frame (~400 MB of
+        # ResNet-50 params + Adam moments + teacher per step).  Callers get
+        # the new state back and must not reuse the old one (the runner,
+        # bench and apps are all linear in state; donation is a no-op on the
+        # CPU test backend).
+        self._jit_step = jax.jit(self._step, donate_argnums=(0,))
         self.predict = jax.jit(self._predict)
-        self._jit_chunk = jax.jit(self._run_chunk)
+        self._jit_chunk = jax.jit(self._run_chunk, donate_argnums=(0,))
 
     def step(self, state: AdaptState, frame: Frame,
              cos_sim_threshold=None):
@@ -133,14 +145,17 @@ class BilevelEngine:
     def _forward(self, params, image):
         return self.model.apply({"params": params}, image)
 
-    def _decode(self, rotmat, shape):
-        out = smpl_forward(self.smpls.neutral, shape, rotmat)
+    def _decode(self, rotmat, shape, no_grad: bool = False):
+        """SMPL decode; ``no_grad=True`` marks call sites outside gradient
+        computations, where the Pallas skinning kernel (no VJP) may serve."""
+        lbs_fn = self._pallas_smpl if no_grad else None
+        out = smpl_forward(self.smpls.neutral, shape, rotmat, lbs_fn=lbs_fn)
         return out.joints, out.vertices
 
     def _predict(self, params, image):
         """Plain inference: image -> (rotmat, shape, cam, s3d, verts, s2d)."""
         rotmat, shape, cam, feats = self._forward(params, image)
-        s3d, verts = self._decode(rotmat, shape)
+        s3d, verts = self._decode(rotmat, shape, no_grad=True)
         s2d = project_to_crop(cam, s3d)["normed"]
         return dict(rotmat=rotmat, shape=shape, cam=cam, s3d=s3d,
                     verts=verts, s2d=s2d, feats=feats)
@@ -154,7 +169,7 @@ class BilevelEngine:
         return (((s2d[:, 25:] - j2d[:, 25:, :2]) ** 2) * conf).mean()
 
     def _level_loss(self, params, frame: Frame, state: AdaptState,
-                    bank, level: str):
+                    bank, level: str, teacher_params=None):
         """Shared lower/upper loss builder
         (reference base_adaptor.py:222-268 / 271-317).
 
@@ -164,6 +179,14 @@ class BilevelEngine:
         exemplar ``bank`` is retrieved by the caller from the most recent
         feature snapshot, so the batched forward has no data dependence on
         its own output.
+
+        ``teacher_params``: the mean-teacher weights the distillation loss
+        targets.  The dynamic extra-step loop EMA-updates the teacher after
+        every Adam step and the NEXT step's teacher loss must see that update
+        (reference base_adaptor.py:320-343 uses self.teacher, updated at
+        dynaboa_benchmark.py:176-187) — so the while-loop body passes its
+        carried teacher here.  Defaults to the frame-initial teacher, which
+        is correct for the lower level and for update 0.
         """
         cfg = self.cfg
         use_frame = (cfg.use_frame_losses_lower if level == "lower"
@@ -220,8 +243,10 @@ class BilevelEngine:
             aux["unlabelloss"] = loss
 
         if use_temporal and cfg.use_meanteacher:
+            if teacher_params is None:
+                teacher_params = state.teacher_params
             t_rotmat, t_shape, t_cam, _ = self._forward(
-                state.teacher_params, frame.image)
+                teacher_params, frame.image)
             t_s3d, _ = self._decode(t_rotmat, t_shape)
             t_s2d = project_to_crop(t_cam, t_s3d)["normed"]
             tl, _ = teacher_loss(rotmat[fr], shape[fr], s2d[fr], s3d[fr],
@@ -297,7 +322,8 @@ class BilevelEngine:
         if cfg.use_boa:
             # 1. pre-adaptation features (no grad; reference
             # dynaboa_benchmark.py:132-133)
-            _, _, _, init_feats = self._forward(state.params, frame.image)
+            rotmat0, shape0, cam0, init_feats = self._forward(
+                state.params, frame.image)
 
             # 2. inner step(s) on the virtual clone.  Retrieval for inner
             # step 0 keys off init_feats[5] — identical to the reference,
@@ -341,33 +367,45 @@ class BilevelEngine:
             max_updates = 1 + (cfg.optim_steps if cfg.dynamic_boa else 0)
 
             def cond(carry):
-                _, _, _, _, _, _, sim, n, _ = carry
+                _, _, _, _, _, sim, n, _ = carry
                 return jnp.logical_and(
                     n < max_updates,
                     jnp.logical_or(n == 0, (1.0 - sim) > thr),
                 )
 
             def body(carry):
-                (params, opt_state, teacher, rng, prev5, prev12, sim, n,
+                (params, opt_state, teacher, rng, pred_c, sim, n,
                  first) = carry
                 rng, r = jax.random.split(rng)
                 eval_params = jax.lax.cond(
                     n == 0, lambda: learner, lambda: params)
-                bank = self._retrieve(prev5, r)
+                bank = self._retrieve(pred_c[3][5][0], r)
+                # the carried `teacher` (EMA'd after the previous update) is
+                # the distillation target — reference base_adaptor.py:320-343
+                # reads self.teacher, which dynaboa_benchmark.py:176-187
+                # updates after every optimizer step
                 (ul, (_, aux)), g = jax.value_and_grad(
                     self._level_loss, has_aux=True
-                )(eval_params, frame, state, bank, "upper")
+                )(eval_params, frame, state, bank, "upper", teacher)
                 aux["loss"] = ul
                 params, opt_state = self._outer_update(g, params, opt_state)
                 if cfg.use_meanteacher:
                     teacher = self._ema_teacher(teacher, params)
-                _, _, _, feats_post = self._forward(params, frame.image)
-                post12 = feats_post[12]
-                sim = feature_cosine_similarities((prev12,), (post12,))[0]
+                # post-update forward: yields the convergence signal (tap 12)
+                # AND the model outputs at the updated params, so the final
+                # prediction after the loop reuses this forward instead of
+                # running the backbone again (reference fwd at
+                # dynaboa_benchmark.py:163-166 + inference fwd at :189 — here
+                # they are one).
+                rotmat_p, shape_p, cam_p, feats_post = self._forward(
+                    params, frame.image)
+                sim = feature_cosine_similarities(
+                    (pred_c[3][12],), (feats_post[12],))[0]
                 first = jax.tree.map(
                     lambda a, b: jnp.where(n == 0, a, b), aux, first)
-                return (params, opt_state, teacher, rng, feats_post[5][0],
-                        post12, sim, n + 1, first)
+                return (params, opt_state, teacher, rng,
+                        (rotmat_p, shape_p, cam_p, feats_post),
+                        sim, n + 1, first)
 
             # aux-log structure template (zeros; filled by iteration 0).
             # eval_shape traces without compiling, so this adds no HLO.
@@ -380,11 +418,11 @@ class BilevelEngine:
                 lambda sh: jnp.zeros(sh.shape, sh.dtype), aux_shapes)
             aux_t["loss"] = jnp.zeros(())
 
-            (params, opt_state, teacher, rng, _, _, sim12, nupd,
+            (params, opt_state, teacher, rng, pred_f, sim12, nupd,
              upper_aux) = jax.lax.while_loop(
                 cond, body,
                 (state.params, state.opt_state, state.teacher_params,
-                 rng, prev5, init_feats[12],
+                 rng, (rotmat0, shape0, cam0, init_feats),
                  jnp.zeros(()), jnp.zeros((), jnp.int32), aux_t),
             )
             outputs["upper"] = upper_aux
@@ -406,14 +444,23 @@ class BilevelEngine:
             teacher = (self._ema_teacher(state.teacher_params, params)
                        if cfg.use_meanteacher else state.teacher_params)
 
-        # 5. final inference + metrics at the adapted weights
-        pred = self._predict(params, frame.image)
+        # 5. final inference + metrics at the adapted weights.  Under BOA the
+        # while-loop's last post-update forward already ran the backbone at
+        # the final params, so only the SMPL decode + projection remain here.
         if cfg.use_boa:
+            rotmat_f, shape_f, cam_f, feats_f = pred_f
+            s3d_f, verts_f = self._decode(rotmat_f, shape_f, no_grad=True)
+            pred = dict(rotmat=rotmat_f, shape=shape_f, cam=cam_f,
+                        s3d=s3d_f, verts=verts_f,
+                        s2d=project_to_crop(cam_f, s3d_f)["normed"],
+                        feats=feats_f)
             # observability: per-tap similarity between the pre-adaptation
             # and final features (the reference logs per-update-step sims,
             # base_adaptor.py:211-219; here one fused vector per frame)
             outputs["feat_sim"] = feature_cosine_similarities(
                 init_feats, pred["feats"])
+        else:
+            pred = self._predict(params, frame.image)
         metrics = self._metrics(pred["verts"], frame)
         outputs.update(metrics)
         outputs["verts"] = pred["verts"]
@@ -442,9 +489,12 @@ class BilevelEngine:
         """Fresh adaptation state; also the documented remedy for adaptation
         divergence (the webcam path's ``reload()``,
         reference dynaboa_webcam.py:184-195)."""
-        teacher = jax.tree.map(jnp.asarray, params)
+        # student and teacher start identical but must be DISTINCT buffers:
+        # the jitted step donates the whole state, and aliased leaves would
+        # be donated twice (jnp.asarray on a jnp array is a no-op)
+        teacher = jax.tree.map(lambda p: jnp.array(p, copy=True), params)
         return AdaptState(
-            params=jax.tree.map(jnp.asarray, params),
+            params=jax.tree.map(lambda p: jnp.array(p, copy=True), params),
             teacher_params=teacher,
             opt_state=self.tx.init(params),
             hist_images=jnp.zeros(

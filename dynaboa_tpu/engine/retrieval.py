@@ -61,7 +61,12 @@ def retrieve(
 
     mask = store.member_mask[cluster]
     logits = jnp.where(mask > 0, 0.0, -jnp.inf)
-    picks = jax.random.categorical(rng, logits, shape=(sample_num,))
+    # Gumbel top-k = uniform draw WITHOUT replacement over the valid member
+    # slots (the reference's random.sample, base_adaptor.py:93).  sample_num
+    # never exceeds the smallest cluster in practice; if it did, padded picks
+    # would repeat the highest-noise valid slot rather than crash.
+    noisy = logits + jax.random.gumbel(rng, logits.shape)
+    _, picks = jax.lax.top_k(noisy, sample_num)
     idx = store.members[cluster, picks]            # (sample_num,)
     return jax.tree.map(lambda a: a[idx], store.bank)
 

@@ -26,11 +26,41 @@ from dynaboa_tpu.engine.checkpoint import load_state, save_state
 from dynaboa_tpu.metrics.writer import RunningMeans, ScalarWriter
 
 
+_fused_preprocess_jit = None
+
+
+def _fused_preprocess(raw: np.ndarray, center, scale):
+    """On-device crop/resize/normalize for raw-frame stream items (one jitted
+    gather graph per raw shape; SURVEY §7 fused-preprocessing north star)."""
+    global _fused_preprocess_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _fused_preprocess_jit is None:
+        from dynaboa_tpu.ops import image as I
+
+        _fused_preprocess_jit = jax.jit(
+            lambda im, c, s: I.fused_crop_resize_normalize(
+                im.astype(jnp.float32), c, s))
+    return _fused_preprocess_jit(
+        jnp.asarray(raw), jnp.asarray(center, jnp.float32),
+        jnp.asarray(scale, jnp.float32))
+
+
 def frame_from_item(item: dict, keypoint_source: str = "gt") -> Frame:
-    """Lift a dataset item (single frame, no batch dim) into a Frame."""
+    """Lift a dataset item (single frame, no batch dim) into a Frame.
+
+    Items carrying ``raw_image`` (fused-preprocess stream mode) are cropped /
+    resized / ImageNet-normalized on device; items carrying ``image`` arrive
+    host-preprocessed (the reference's path, utils/dataprocess.py:48-96)."""
     j2d = item["op_j2d"] if keypoint_source == "openpose" else item["smpl_j2d"]
+    if "raw_image" in item:
+        image = _fused_preprocess(item["raw_image"], item["center"],
+                                  item["scale"])[None]
+    else:
+        image = item["image"][None]
     return Frame(
-        image=item["image"][None],
+        image=image,
         j2d=j2d[None],
         pose=item["pose"][None],
         betas=item["betas"][None],
@@ -47,7 +77,15 @@ class StreamRunner:
         checkpoint_every: int = 0,
         log_every: int = 200,
         profile_dir: str | None = None,
+        save_overlays: bool = False,
+        img_root: str | None = None,
+        faces=None,
     ):
+        """``save_overlays`` renders the predicted mesh over the original
+        frame via the in-repo rasterizer and writes image/Pred_{i}.png +
+        mesh/Pred_{i}.obj (the reference's --save_res path,
+        base_adaptor.py:429-443); needs streams that carry imgname/bbox and
+        the SMPL ``faces`` topology."""
         self.engine = engine
         self.exppath = exppath
         os.makedirs(osp.join(exppath, "result"), exist_ok=True)
@@ -58,6 +96,9 @@ class StreamRunner:
         self.checkpoint_every = checkpoint_every
         self.log_every = log_every
         self.profile_dir = profile_dir
+        self.save_overlays = save_overlays
+        self.img_root = img_root or ""
+        self.faces = faces
 
         self.reset_records()
 
@@ -89,7 +130,10 @@ class StreamRunner:
     ) -> tuple[AdaptState, dict]:
         """chunk_size > 1 dispatches lax.scan chunks (one XLA call per
         ``chunk_size`` frames) instead of per-frame steps — higher offline
-        throughput, identical results (tested seam)."""
+        throughput.  Results are structurally identical (same dynamic-loop
+        step counts); weights can differ on isolated near-zero-gradient
+        coordinates by O(lr) because Adam amplifies fusion-order fp noise
+        into sign flips (tested seam: tests/test_engine.py TestChunkedScan)."""
         state = init_state
         start = 0
         if resume_from and osp.exists(resume_from):
@@ -101,13 +145,12 @@ class StreamRunner:
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
         try:
-            pending: list[tuple[int, "Frame"]] = []
+            pending: list[tuple[int, "Frame", dict]] = []
 
             def flush():
                 nonlocal state
                 if not pending:
                     return
-                idxs = [i for i, _ in pending]
                 t0 = time.perf_counter()
                 if len(pending) == 1:
                     state, out = self.engine.step(state, pending[0][1])
@@ -116,16 +159,16 @@ class StreamRunner:
                     import jax.numpy as jnp
 
                     stacked = Frame(*[
-                        jnp.stack([getattr(f, k) for _, f in pending])
+                        jnp.stack([getattr(f, k) for _, f, _ in pending])
                         for k in Frame._fields])
                     state, outs_stacked = self.engine.run_chunk(state, stacked)
                     outs_stacked = jax.tree.map(np.asarray, outs_stacked)
                     outs = [jax.tree.map(lambda a, j=j: a[j], outs_stacked)
                             for j in range(len(pending))]
                 dt = (time.perf_counter() - t0) / len(pending)
-                for (i, _), out in zip(pending, outs):
+                for (i, _, meta), out in zip(pending, outs):
                     self.step_times.append(dt)
-                    self._record(i, out)
+                    self._record(i, out, meta)
                 pending.clear()
 
             for i, item in enumerate(iter(stream)):
@@ -134,8 +177,10 @@ class StreamRunner:
                 if max_frames is not None and i >= max_frames:
                     break
                 frame = frame_from_item(item, keypoint_source)
+                meta = {k: item[k] for k in ("imgname", "bbox")
+                        if k in item}
                 with jax.profiler.StepTraceAnnotation("boa_step", step_num=i):
-                    pending.append((i, frame))
+                    pending.append((i, frame, meta))
                     if len(pending) >= chunk_size:
                         flush()
 
@@ -157,7 +202,7 @@ class StreamRunner:
         summary = self.finalize(n_total)
         return state, summary
 
-    def _record(self, i: int, out: dict):
+    def _record(self, i: int, out: dict, meta: dict | None = None):
         scalars = {}
         if "mpjpe" in out:
             self.mpjpe_all.append(float(np.mean(out["mpjpe"])))
@@ -196,11 +241,47 @@ class StreamRunner:
         self.writer.write(i, scalars)
 
         if self.save_predictions:
+            # the reference dumps the weak-perspective cam CONVERTED to a
+            # camera translation [cam1, cam2, 2*5000/(224*cam0+1e-9)]
+            # under the 'cam' key (dynaboa_internet.py:157-159,
+            # dynaboa_benchmark.py:248-254); the raw crop-space cam rides
+            # along as 'cam_crop'
+            cam = np.asarray(out["cam"])
+            tz = (2.0 * 5000.0
+                  / (224.0 * cam[:, 0] + 1e-9))
+            cam_t = np.stack([cam[:, 1], cam[:, 2], tz], axis=-1)
             np.savez(
                 osp.join(self.exppath, "result", f"Pred_{i}.npz"),
-                verts=out["verts"], cam=out["cam"], rotmat=out["rotmat"],
-                beta=out["beta"],
+                verts=out["verts"], cam=cam_t, cam_crop=cam,
+                rotmat=out["rotmat"], beta=out["beta"],
             )
+
+        if self.save_overlays and meta and meta.get("imgname"):
+            self._render_overlay(i, out, meta)
+
+    def _render_overlay(self, i: int, out: dict, meta: dict):
+        """--save_res parity: mesh over the original frame + OBJ dump
+        (reference base_adaptor.py:429-443 via the in-repo rasterizer)."""
+        path = meta["imgname"]
+        if self.img_root and not osp.isabs(path):
+            path = osp.join(self.img_root, path)
+        if not osp.exists(path) or self.faces is None:
+            return
+        import cv2
+
+        from dynaboa_tpu.viz.renderer import render_overlay, save_obj
+
+        img = cv2.imread(path)
+        if img is None:
+            return
+        verts = np.asarray(out["verts"])[0]
+        cam3 = np.asarray(out["cam"])[0]
+        over = render_overlay(img, verts, cam3, np.asarray(meta["bbox"]),
+                              self.faces, color=(205 / 255, 129 / 255,
+                                                 98 / 255))
+        cv2.imwrite(osp.join(self.exppath, "image", f"Pred_{i}.png"), over)
+        save_obj(osp.join(self.exppath, "mesh", f"Pred_{i}.obj"), verts,
+                 self.faces)
 
     def finalize(self, n_total: int) -> dict:
         """Artifact-dump parity with reference dynaboa_benchmark.py:105-123."""

@@ -421,7 +421,7 @@ class HMRISO(nn.Module):
         w = self.width
         x = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=_torch_conv_init,
-                    dtype=self._dtype, name="conv1")(x)
+                    name="conv1")(x)
         x = nn.relu(self._bn("bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         planes = [w, 2 * w, 4 * w, 8 * w]

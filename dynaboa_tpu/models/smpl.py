@@ -8,8 +8,12 @@ and functional:
 
 The heavy contractions (blend shapes 6890x3x10, pose blendshapes 6890x3x207,
 skinning 6890x24, joint regression 54x6890) are pure jnp einsums by default so
-XLA fuses them; a Pallas kernel path for the skinning is in
-``dynaboa_tpu.kernels.lbs`` (used on TPU for the batched benchmark runner).
+XLA fuses them; a fused Pallas kernel path for the skinning lives in
+``dynaboa_tpu.kernels.lbs`` and plugs in via ``smpl_forward(..., lbs_fn=...)``
+— the engine enables it for its no-grad decode paths with
+``AdaptConfig.use_pallas_lbs`` (the kernel has no VJP, so the in-loss decode
+always uses the einsum path; pick per-platform from the measurements in
+``tools/bench_lbs.py``).
 
 Model data loads from an ``.npz`` (see ``tools/convert_smpl.py`` for
 converting the official SMPL pickle); a deterministic synthetic model with the
@@ -142,33 +146,46 @@ def lbs(
     return verts, posed_joints
 
 
+def spin_joints(model: SMPLModel, verts: jnp.ndarray,
+                kin_joints: jnp.ndarray) -> jnp.ndarray:
+    """SPIN 49-joint assembly from skinned vertices: [24 posed kinematic +
+    21 selected vertices + 9 extra regressed] gathered into the SPIN order
+    (reference model/smpl.py:25-37, constants.py:72-90)."""
+    sel_verts = verts[:, model.vertex_joint_ids]                       # (N,21,3)
+    extra = jnp.einsum("jv,nvc->njc", model.J_regressor_extra, verts,
+                       precision=_HI)                                  # (N,9,3)
+    joints54 = jnp.concatenate([kin_joints, sel_verts, extra], axis=1)
+    return joints54[:, jnp.asarray(constants.SPIN_JOINT_GATHER)]
+
+
 def smpl_forward(
     model: SMPLModel,
     betas: jnp.ndarray,
     pose: jnp.ndarray,
     pose2rot: bool = False,
+    lbs_fn=None,
 ) -> SMPLOutput:
     """Full SMPL forward returning SPIN's 49-joint set.
 
-    Mirrors reference model/smpl.py:25-37: vertices via LBS, joints =
-    [24 posed kinematic + 21 selected vertices + 9 extra regressed], then the
-    49-entry SPIN gather (constants.SPIN_JOINT_GATHER).
+    Mirrors reference model/smpl.py:25-37: vertices via LBS + the 49-entry
+    SPIN gather (``spin_joints``).
 
     Args:
       betas: (N, 10)
       pose: (N, 24, 3, 3) rotmats if not pose2rot, else (N, 72) axis-angle.
+      lbs_fn: optional replacement for the einsum ``lbs`` path — e.g. a
+        ``dynaboa_tpu.kernels.lbs.PallasSMPL`` instance.  NB the Pallas
+        kernel has no VJP; only use it outside gradient computations.
     """
     if pose2rot:
         rotmats = batch_rodrigues(pose.reshape(-1, 3)).reshape(-1, 24, 3, 3)
     else:
         rotmats = pose
-    verts, kin_joints = lbs(model, betas, rotmats)
-
-    sel_verts = verts[:, model.vertex_joint_ids]                       # (N,21,3)
-    extra = jnp.einsum("jv,nvc->njc", model.J_regressor_extra, verts,
-                       precision=_HI)                                  # (N,9,3)
-    joints54 = jnp.concatenate([kin_joints, sel_verts, extra], axis=1)
-    joints = joints54[:, jnp.asarray(constants.SPIN_JOINT_GATHER)]
+    if lbs_fn is not None:
+        verts, kin_joints = lbs_fn(betas, rotmats)
+    else:
+        verts, kin_joints = lbs(model, betas, rotmats)
+    joints = spin_joints(model, verts, kin_joints)
     return SMPLOutput(vertices=verts, joints=joints, smpl_joints=kin_joints)
 
 

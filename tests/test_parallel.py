@@ -77,3 +77,68 @@ class TestParallelStreams:
         par, params = par_setup
         with pytest.raises(ValueError):
             par.init_states(params, 6, img_res=IMG)
+
+
+class TestFullProgramParallel:
+    """The FULL flagship program — dynamic BOA while_loop + teacher EMA +
+    motion + mixtrain + retrieval — under shard_map (what
+    __graft_entry__.dryrun_multichip runs), checked against sequential
+    single-stream execution."""
+
+    def test_matches_sequential_streams(self, rng):
+        from dynaboa_tpu.engine import Frame
+
+        cfg = AdaptConfig(cos_sim_threshold=-1.0, optim_steps=2, interval=2,
+                          record_lowerlevel=False)
+        assert (cfg.dynamic_boa and cfg.use_meanteacher and cfg.use_motion
+                and cfg.lower_level_mixtrain and cfg.upper_level_mixtrain
+                and cfg.retrieval)
+        model = HMR(layers=(1, 1, 1, 1), width=WIDTH, regressor_dim=128)
+        params = init_hmr_params(model, jax.random.PRNGKey(0),
+                                 input_shape=(1, IMG, IMG, 3))
+        eng = BilevelEngine(cfg, model, synthetic_gmm_prior(seed=4),
+                            make_smpls(),
+                            synthetic_store(seed=6, img_res=IMG,
+                                            feat_dim=8 * WIDTH * 4))
+        mesh = make_mesh(4)
+        par = ParallelStreams(eng, mesh)
+        S, n_frames = 4, 2
+        per_stream = [make_items(rng, n_frames) for _ in range(S)]
+
+        # mesh run: one step call per frame index, all streams at once
+        states = par.init_states(params, S, img_res=IMG)
+        keys = np.asarray(states.rng)   # per-stream rng (snapshot pre-donate)
+        par_out = []
+        for t in range(n_frames):
+            states, out = par.step(
+                states, stack_frames([per_stream[s][t] for s in range(S)]))
+            par_out.append(jax.tree.map(np.asarray, out))
+        par_params = jax.tree.map(np.asarray, states.params)
+
+        # sequential runs: same per-stream rng, same frames
+        n_updates = n_frames * (1 + cfg.optim_steps)
+        tol = 4 * n_updates * cfg.lr
+        for s in range(S):
+            st = eng.init_state(params, img_res=IMG)._replace(
+                rng=jnp.asarray(keys[s]))
+            for t in range(n_frames):
+                it = per_stream[s][t]
+                frame = Frame(
+                    image=jnp.asarray(it["image"][None]),
+                    j2d=jnp.asarray(it["smpl_j2d"][None]),
+                    pose=jnp.asarray(it["pose"][None]),
+                    betas=jnp.asarray(it["betas"][None]),
+                    gender=jnp.asarray([it["gender"]], jnp.int32))
+                st, out = eng.step(st, frame)
+                assert (int(np.asarray(out["optim_steps"]))
+                        == int(par_out[t]["optim_steps"][s])), (s, t)
+                np.testing.assert_allclose(
+                    float(np.asarray(out["mpjpe"])[0]),
+                    float(par_out[t]["mpjpe"][s, 0]), rtol=1e-3, atol=1e-2)
+            # weights agree within the Adam drift bound (sign flips of
+            # near-zero-grad coords under different XLA fusions, see
+            # tests/test_engine.py TestChunkedScan)
+            for a, b in zip(jax.tree.leaves(st.params),
+                            jax.tree.leaves(par_params)):
+                d = np.abs(np.asarray(a) - np.asarray(b)[s]).max()
+                assert d < tol, (s, d)

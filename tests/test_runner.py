@@ -83,6 +83,60 @@ class TestRunner:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_fused_preprocess_stream_mode(self):
+        """--fused_preprocess parity: a raw-frame item cropped on device must
+        match the host crop path (reference utils/dataprocess.py:48-96) on
+        the same frame, and the engine must accept the result end-to-end."""
+        from dynaboa_tpu.data.streams import crop_and_normalize
+
+        stream = SyntheticStream(num_frames=2, img_res=IMG, seed=7,
+                                 fused_preprocess=True)
+        item = next(iter(stream))
+        assert "raw_image" in item and "image" not in item
+        f = frame_from_item(item)
+        assert f.image.shape == (1, 224, 224, 3)
+
+        host = crop_and_normalize(
+            item["raw_image"].astype(np.float32), item["center"],
+            float(item["scale"]))
+        dev = np.asarray(f.image[0])
+        assert np.abs(dev - host).mean() < 5e-2
+        assert np.isfinite(dev).all()
+
+    def test_save_overlays_and_cam_translation_dump(self, engine, tmp_path):
+        """--save_res parity: Pred npz carries the translation-converted cam
+        (dynaboa_internet.py:157-159) and the rasterizer writes overlay pngs
+        + obj meshes (base_adaptor.py:429-443)."""
+        import cv2
+
+        eng, params = engine
+        stream = SyntheticStream(num_frames=2, img_res=IMG, seed=5)
+        # drop a fake "original frame" where imgname points
+        imgdir = tmp_path / "imgs"
+        imgdir.mkdir()
+        items = list(iter(stream))
+        for it in items:
+            cv2.imwrite(str(imgdir / it["imgname"]),
+                        np.random.default_rng(0).integers(
+                            0, 255, (64, 64, 3)).astype(np.uint8))
+        faces = np.asarray(
+            [[0, 1, 2], [2, 3, 4]], np.int32)  # tiny dummy topology
+        runner = StreamRunner(eng, str(tmp_path / "exp"),
+                              save_predictions=True, save_overlays=True,
+                              img_root=str(imgdir), faces=faces,
+                              log_every=100)
+        state = eng.init_state(params, img_res=IMG)
+        runner.run(stream, state)
+
+        pred = np.load(str(tmp_path / "exp" / "result" / "Pred_0.npz"))
+        cam_crop = pred["cam_crop"]
+        want_t = np.stack([
+            cam_crop[:, 1], cam_crop[:, 2],
+            2.0 * 5000.0 / (224.0 * cam_crop[:, 0] + 1e-9)], axis=-1)
+        np.testing.assert_allclose(pred["cam"], want_t, rtol=1e-6)
+        assert osp.exists(str(tmp_path / "exp" / "image" / "Pred_0.png"))
+        assert osp.exists(str(tmp_path / "exp" / "mesh" / "Pred_0.obj"))
+
     def test_frame_from_item_openpose_source(self):
         stream = SyntheticStream(num_frames=1, img_res=IMG, seed=3)
         item = next(iter(stream))
@@ -96,11 +150,12 @@ class TestRunner:
     def test_reset_state_restores_init(self, engine):
         eng, params = engine
         runner_state = eng.init_state(params, img_res=IMG)
+        init_snapshot = [np.asarray(a) for a in
+                         jax.tree.leaves(runner_state.params)]
         stream = SyntheticStream(num_frames=1, img_res=IMG, seed=4)
         item = next(iter(stream))
         new_state, _ = eng.step(runner_state, frame_from_item(item))
         reset = eng.init_state(params, img_res=IMG)
-        for a, b in zip(jax.tree.leaves(reset.params),
-                        jax.tree.leaves(runner_state.params)):
+        for a, b in zip(jax.tree.leaves(reset.params), init_snapshot):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(reset.step) == 0
