@@ -101,7 +101,10 @@ def measure_streaming(system, frames, n_frames, label, thr=None):
         state, out = engine.step(state, frames[(i + 1) % len(frames)],
                                  cos_sim_threshold=thr)
         outs.append(out["optim_steps"])
-    jax.block_until_ready(out["mpjpe"])
+    # end on a VALUE fetch, not block_until_ready: on the tunneled axon
+    # platform block_until_ready can return early for chains of donated
+    # async dispatches, but a host fetch cannot lie about data readiness
+    float(np.asarray(out["mpjpe"]).sum())
     dt = time.perf_counter() - t0
     fps = n_frames / dt
     extra = float(np.mean([np.asarray(o) for o in outs]))
@@ -124,7 +127,7 @@ def measure_chunked(system, frames, label, thr=None, n_chunks=3):
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, out = engine.run_chunk(state, chunk, cos_sim_threshold=thr)
-    jax.block_until_ready(out["mpjpe"])
+    float(np.asarray(out["mpjpe"]).sum())   # see measure_streaming note
     dt = time.perf_counter() - t0
     fps = n_chunks * CHUNK / dt
     log(f"[{label}] chunked({CHUNK}/dispatch): {n_chunks * CHUNK} frames in "
@@ -132,13 +135,15 @@ def measure_chunked(system, frames, label, thr=None, n_chunks=3):
     return fps
 
 
-def single_step_mpjpe(system, frame):
+def single_step_mpjpe(system, frame, label=""):
     import jax
 
     engine = system.engine
     state = engine.init_state(system.params)
+    t0 = time.perf_counter()
     _, out = engine.step(state, frame)
     jax.block_until_ready(out["mpjpe"])
+    log(f"[{label}] step compile+first: {time.perf_counter() - t0:.1f}s")
     return float(np.asarray(out["mpjpe"])[0])
 
 
@@ -161,8 +166,8 @@ def main():
     sys32 = build(cfg32)
 
     # precision gate: ONE composed update from identical weights
-    m16 = single_step_mpjpe(sys16, frames[0])
-    m32 = single_step_mpjpe(sys32, frames[0])
+    m16 = single_step_mpjpe(sys16, frames[0], "bf16")
+    m32 = single_step_mpjpe(sys32, frames[0], "fp32")
     prec_rel = abs(m16 - m32) / max(abs(m32), 1e-9)
     log(f"single-step mpjpe bf16 {m16:.4f} vs fp32 {m32:.4f} "
         f"({100 * prec_rel:.3f}% rel)")

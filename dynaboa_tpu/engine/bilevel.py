@@ -249,10 +249,13 @@ class BilevelEngine:
                 teacher_params, frame.image)
             t_s3d, _ = self._decode(t_rotmat, t_shape)
             t_s2d = project_to_crop(t_cam, t_s3d)["normed"]
-            tl, _ = teacher_loss(rotmat[fr], shape[fr], s2d[fr], s3d[fr],
-                                 t_rotmat, t_shape, t_s2d, t_s3d)
+            tl, tparts = teacher_loss(rotmat[fr], shape[fr], s2d[fr], s3d[fr],
+                                      t_rotmat, t_shape, t_s2d, t_s3d)
             loss = loss + tl * cfg.teacherloss_weight
             aux["teacherloss"] = tl
+            # reference logs the distillation sub-terms under teacher/*
+            # (base_adaptor.py:338-343); the runner re-prefixes these
+            aux.update({f"teacher_{k}": v for k, v in tparts.items()})
 
         if use_motion:
             # webcam path computes motion over the OpenPose joint half
@@ -271,12 +274,13 @@ class BilevelEngine:
             aux["motion_loss"] = ml * active
 
         if use_mixtrain:
-            ll, _ = labeled_loss(
+            ll, lparts = labeled_loss(
                 rotmat[ex], shape[ex], s2d[ex], s3d[ex],
                 bank.pose, bank.betas, bank.keypoints, bank.pose_3d,
             )
             loss = loss + ll * cfg.labelloss_weight
             aux["labledloss"] = ll
+            aux.update(lparts)   # ll/ul labled_* sub-terms (base_adaptor:371-375)
 
         return loss, (feats, aux)
 

@@ -216,7 +216,11 @@ class StreamRunner:
         for k, v in out.get("lower", {}).items():
             scalars[f"ll/{k}"] = float(np.mean(v))
         for k, v in out.get("upper", {}).items():
-            scalars[f"ul/{k}"] = float(np.mean(v))
+            if k.startswith("teacher_"):
+                # reference key namespace: teacher/* (base_adaptor.py:338-343)
+                scalars[f"teacher/{k[len('teacher_'):]}"] = float(np.mean(v))
+            else:
+                scalars[f"ul/{k}"] = float(np.mean(v))
         if "lower" in out and "s2dloss" in out["lower"]:
             self.kp2d_lower.append(float(np.mean(out["lower"]["s2dloss"])))
         if "upper" in out and "s2dloss" in out["upper"]:

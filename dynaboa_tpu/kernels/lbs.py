@@ -14,6 +14,15 @@ offsets nor the per-vertex blended transforms are ever materialized in HBM.
 Layout: component-major (3, V) with vertices on the 128-lane axis — xyz and
 the 24 joints are tiny dimensions that would waste lanes, vertices are the
 long axis.  V is padded to a multiple of the lane tile.
+
+Measured on TPU v5 lite (tools/bench_lbs.py, V=6890, 2026-08-16):
+  B=1   einsum 951 us   pallas 935 us   -> pallas marginally ahead
+  B=8   einsum 711 us   pallas 733 us   -> einsum
+  B=40  einsum 695 us   pallas 1312 us  -> einsum (XLA batches the matmuls;
+        the kernel's per-sample grid serializes)
+Conclusion: XLA's fused einsum path is the default
+(AdaptConfig.use_pallas_lbs=False); the kernel is kept as the measured
+alternative and wins only at batch 1 where dispatch overhead dominates.
 """
 
 from __future__ import annotations
@@ -37,14 +46,16 @@ def _skin_kernel(pf_ref, pd_ref, vs_ref, w_ref, A_ref, out_ref):
     """One (sample, vertex-tile) program.
 
     Block shapes:
-      pf_ref: (1, 207)      pose feature (R - I, flattened) for this sample
+      pf_ref: (1, 1, 207)   pose feature (R - I, flattened) for this sample
+                            (unit middle axis so the trailing block dims
+                            equal the array dims — the Mosaic tiling rule)
       pd_ref: (3, 207, T)   posedirs, component-major
       vs_ref: (1, 3, T)     shaped template vertices
       w_ref:  (24, T)       skinning weights, joint-major
       A_ref:  (1, 24, 4, 4) relative joint transforms
       out_ref:(1, 3, T)     posed vertices
     """
-    pf = pf_ref[0:1, :]  # (1, 207)
+    pf = pf_ref[0]  # (1, 207)
 
     # Pose-corrected vertex components, kept as three (1, T) vectors.
     vp = []
@@ -88,7 +99,7 @@ def skinning_kernel_call(
         out_shape=jax.ShapeDtypeStruct((N, 3, Vp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, POSE_FEATS), lambda n, i: (n, 0),
+            pl.BlockSpec((1, 1, POSE_FEATS), lambda n, i: (n, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, POSE_FEATS, TILE_V), lambda n, i: (0, 0, i),
                          memory_space=pltpu.VMEM),
@@ -108,7 +119,8 @@ def skinning_kernel_call(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pose_feature, posedirs_cm, v_shaped_cm, weights_jm, rel_transforms)
+    )(pose_feature[:, None, :], posedirs_cm, v_shaped_cm, weights_jm,
+      rel_transforms)
 
 
 class PallasSMPL:

@@ -82,14 +82,23 @@ def _rigid_transform_chain(rot_mats, joints, parents):
     )
     local = jnp.concatenate([top, bottom], axis=-2)                    # (N,K,4,4)
 
-    # The kinematic chain is static (depth <= 24): unrolled python loop —
-    # XLA sees 24 small matmuls, no dynamic control flow.
-    world = [local[:, 0]]
+    # The kinematic chain is static, and its DEPTH (~7 for SMPL) is much
+    # smaller than its joint count: batch all joints of equal depth into one
+    # (N, L, 4, 4) matmul instead of emitting K-1 sequential 4x4 matmuls.
+    # Per-pair arithmetic is unchanged (same products, same order), so the
+    # result is bit-identical to the sequential walk; the op count drops
+    # from 23 chained matmuls to max-depth batched ones — this chain runs
+    # inside every loss gradient, so it is on the per-update critical path.
+    depth = [0] * K
     for k in range(1, K):
-        world.append(
-            jnp.matmul(world[parents[k]], local[:, k], precision=_HI)
-        )
-    world = jnp.stack(world, axis=1)                                   # (N,K,4,4)
+        depth[k] = depth[parents[k]] + 1
+    world = local
+    for d in range(1, max(depth) + 1):
+        ids = tuple(k for k in range(K) if depth[k] == d)
+        pids = tuple(parents[k] for k in ids)
+        upd = jnp.matmul(world[:, pids, :, :], local[:, ids, :, :],
+                         precision=_HI)
+        world = world.at[:, ids].set(upd)
 
     posed_joints = world[..., :3, 3]
     # subtract the contribution of the rest joint location (standard trick)
