@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="backbone conv precision (bfloat16 doubles MXU rate; "
                         "params/updates stay float32)")
+    p.add_argument("--use_pallas_lbs", type=int, default=0, choices=[0, 1],
+                   help="fused Pallas skinning kernel for no-grad SMPL "
+                        "decodes (see tools/bench_lbs.py measurements)")
     return p
 
 
@@ -114,6 +117,7 @@ def cfg_from_args(args):
         motionloss_weight=args.motionloss_weight,
         seed=args.seed,
         compute_dtype=getattr(args, "compute_dtype", "float32"),
+        use_pallas_lbs=bool(getattr(args, "use_pallas_lbs", 0)),
     )
 
 
