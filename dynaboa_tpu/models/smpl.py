@@ -84,11 +84,22 @@ def _rigid_transform_chain(rot_mats, joints, parents):
 
     # The kinematic chain is static, and its DEPTH (~7 for SMPL) is much
     # smaller than its joint count: batch all joints of equal depth into one
-    # (N, L, 4, 4) matmul instead of emitting K-1 sequential 4x4 matmuls.
+    # (N, L, 4, 4) product instead of emitting K-1 sequential 4x4 matmuls.
     # Per-pair arithmetic is unchanged (same products, same order), so the
-    # result is bit-identical to the sequential walk; the op count drops
-    # from 23 chained matmuls to max-depth batched ones — this chain runs
-    # inside every loss gradient, so it is on the per-update critical path.
+    # result matches the sequential walk; the op count drops from 23 chained
+    # matmuls to max-depth batched ones — this chain runs inside every loss
+    # gradient, so it is on the per-update critical path.
+    #
+    # The 4x4 products are written as broadcast-multiply + sum rather than
+    # dot_general: these dots are length-4 (VPU work, no MXU win), and the
+    # many-batch-dims dot_generals this produces under vmap (the
+    # multi-stream path) trip an XLA:TPU lowering bug — the batched 4x4
+    # matmul gets rewritten into a dilated convolution that fails a
+    # post-optimization shape check.
+    def mm4(a, b):
+        # (..., 4, 4) @ (..., 4, 4) via VPU ops
+        return (a[..., :, :, None] * b[..., None, :, :]).sum(axis=-2)
+
     depth = [0] * K
     for k in range(1, K):
         depth[k] = depth[parents[k]] + 1
@@ -96,14 +107,14 @@ def _rigid_transform_chain(rot_mats, joints, parents):
     for d in range(1, max(depth) + 1):
         ids = tuple(k for k in range(K) if depth[k] == d)
         pids = tuple(parents[k] for k in ids)
-        upd = jnp.matmul(world[:, pids, :, :], local[:, ids, :, :],
-                         precision=_HI)
-        world = world.at[:, ids].set(upd)
+        world = world.at[:, ids].set(
+            mm4(world[:, pids, :, :], local[:, ids, :, :]))
 
     posed_joints = world[..., :3, 3]
-    # subtract the contribution of the rest joint location (standard trick)
+    # subtract the contribution of the rest joint location (standard trick);
+    # length-4 matvec as multiply+sum (see mm4 note above)
     joints_homo = jnp.concatenate([joints, jnp.zeros_like(joints[..., :1])], -1)
-    correction = jnp.einsum("nkij,nkj->nki", world, joints_homo, precision=_HI)
+    correction = (world * joints_homo[..., None, :]).sum(-1)
     rel = world.at[..., :3, 3].add(-correction[..., :3])
     return posed_joints, rel
 
@@ -151,7 +162,10 @@ def lbs(
     T = jnp.einsum("vk,nkij->nvij", model.lbs_weights, rel_transforms,
                    precision=_HI)
     v_homo = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], -1)
-    verts = jnp.einsum("nvij,nvj->nvi", T, v_homo, precision=_HI)[..., :3]
+    # per-vertex affine application: length-4 dots as multiply+sum (VPU; the
+    # (N,V)-batched dot_general form trips the same vmap lowering bug as the
+    # chain matmuls, see mm4 above)
+    verts = (T * v_homo[..., None, :]).sum(-1)[..., :3]
     return verts, posed_joints
 
 

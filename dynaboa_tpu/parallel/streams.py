@@ -13,6 +13,12 @@ with ``vmap`` batching multiple streams per device.  There is no cross-stream
 communication — no collectives are needed in the faithful configuration; an
 optional ``psum`` gradient-averaging mode turns the same program into
 replicated-stream joint adaptation (shared weights), riding ICI.
+
+Perf guidance (measured, docs/PERF.md): keep ``num_streams == mesh.size`` on
+TPU.  More than one stream per device makes ``vmap`` map over per-stream
+params, turning every convolution into a per-sample-weight convolution the
+MXU cannot batch (measured 15x slower per step).  The vmap path is for
+CPU-mesh tests and for ``share_weights`` replicated adaptation.
 """
 
 from __future__ import annotations
