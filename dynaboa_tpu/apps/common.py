@@ -88,6 +88,12 @@ def build_system(
 ) -> System:
     """``model_kwargs``/``num_vertices`` shrink the network and body model
     (CI smoke mode; real checkpoints require the full defaults)."""
+    import dynaboa_tpu
+
+    # every entry point shares the persistent XLA cache — the full bilevel
+    # program takes minutes to compile fresh (docs/PERF.md)
+    dynaboa_tpu.enable_compilation_cache()
+
     paths = paths or Paths()
     synthetic: dict[str, bool] = {}
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 import time
+from typing import Any
 
 import jax
 import numpy as np
@@ -45,6 +46,64 @@ def _fused_preprocess(raw: np.ndarray, center, scale):
     return _fused_preprocess_jit(
         jnp.asarray(raw), jnp.asarray(center, jnp.float32),
         jnp.asarray(scale, jnp.float32))
+
+
+def _pack_outputs(outs: list):
+    """Stack a window of output trees and pack all leaves into two flat
+    buffers (float32, int32).  Runs under jit — a single compiled program,
+    a single device computation."""
+    import jax.numpy as jnp
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    leaves = jax.tree.leaves(stacked)
+    fl = [l.astype(jnp.float32).ravel() for l in leaves
+          if jnp.issubdtype(l.dtype, jnp.floating)]
+    il = [l.astype(jnp.int32).ravel() for l in leaves
+          if not jnp.issubdtype(l.dtype, jnp.floating)]
+    f = jnp.concatenate(fl) if fl else jnp.zeros((0,), jnp.float32)
+    i = jnp.concatenate(il) if il else jnp.zeros((0,), jnp.int32)
+    return f, i
+
+
+_pack_outputs_jit = None
+
+
+def materialize_outputs(outs: list) -> list:
+    """Bring a window of on-device step-output trees to the host in O(1)
+    round trips.
+
+    Fetching trees leaf-by-leaf costs one host round trip per buffer —
+    ~40 leaves/frame x a 16-frame window took 17 s on the tunneled-TPU
+    setup (docs/PERF.md) while the same data packs into two flat buffers
+    fetched in two trips.  The packing itself must be ONE jitted program:
+    issuing it as ~100 eager ops triggers a (slow, remote) compile per op
+    on this platform.
+    """
+    global _pack_outputs_jit
+    import jax.numpy as jnp
+
+    if _pack_outputs_jit is None:
+        _pack_outputs_jit = jax.jit(_pack_outputs)
+    flat_f, flat_i = _pack_outputs_jit(outs)
+    host_f = np.asarray(flat_f)                        # one round trip
+    host_i = np.asarray(flat_i)                        # one small trip
+
+    # unpack on host following the same leaf order as _pack_outputs
+    sample_leaves, treedef = jax.tree.flatten(outs[0])
+    W = len(outs)
+    host: list[np.ndarray] = []
+    off_f = off_i = 0
+    for sample in sample_leaves:
+        shape = (W,) + tuple(np.shape(sample))
+        n = int(np.prod(shape))
+        if np.issubdtype(sample.dtype, np.floating):
+            host.append(host_f[off_f:off_f + n].reshape(shape))
+            off_f += n
+        else:
+            host.append(host_i[off_i:off_i + n].reshape(shape))
+            off_i += n
+    stacked_np = jax.tree.unflatten(treedef, host)
+    return [jax.tree.map(lambda a, j=j: a[j], stacked_np) for j in range(W)]
 
 
 def frame_from_item(item: dict, keypoint_source: str = "gt") -> Frame:
@@ -80,12 +139,18 @@ class StreamRunner:
         save_overlays: bool = False,
         img_root: str | None = None,
         faces=None,
+        defer_window: int = 32,
     ):
         """``save_overlays`` renders the predicted mesh over the original
         frame via the in-repo rasterizer and writes image/Pred_{i}.png +
         mesh/Pred_{i}.obj (the reference's --save_res path,
         base_adaptor.py:429-443); needs streams that carry imgname/bbox and
-        the SMPL ``faces`` topology."""
+        the SMPL ``faces`` topology.
+
+        ``defer_window``: how many frames of device outputs queue before a
+        host fetch materializes them for logging — per-frame fetches would
+        serialize dispatch round trips (docs/PERF.md); 1 restores fully
+        synchronous recording."""
         self.engine = engine
         self.exppath = exppath
         os.makedirs(osp.join(exppath, "result"), exist_ok=True)
@@ -99,6 +164,7 @@ class StreamRunner:
         self.save_overlays = save_overlays
         self.img_root = img_root or ""
         self.faces = faces
+        self.defer_window = max(1, defer_window)
 
         self.reset_records()
 
@@ -146,15 +212,39 @@ class StreamRunner:
             jax.profiler.start_trace(self.profile_dir)
         try:
             pending: list[tuple[int, "Frame", dict]] = []
+            # Outputs are recorded DEFERRED: the adaptation chain stays on
+            # device and python never blocks per frame — a host fetch per
+            # frame costs a full dispatch round trip (docs/PERF.md: 67 fps
+            # async vs ~13 fps host-synced on tunneled TPUs).  Device
+            # outputs queue here and materialize in batches.
+            deferred: list[tuple[int, Any, dict]] = []
+            win_t0 = time.perf_counter()
+
+            def materialize():
+                # Fetching the queued outputs forces completion of the whole
+                # on-device chain up to the newest frame, so wall time since
+                # the previous materialization divided by the window size is
+                # the honest per-frame cost (fetch itself cannot misreport —
+                # see docs/PERF.md on block_until_ready).
+                nonlocal win_t0
+                if not deferred:
+                    return
+                outs_np = materialize_outputs([out for _, out, _ in deferred])
+                dt = (time.perf_counter() - win_t0) / len(deferred)
+                win_t0 = time.perf_counter()
+                idx_meta = [(i, meta) for i, _, meta in deferred]
+                deferred.clear()
+                for (i, meta), out in zip(idx_meta, outs_np):
+                    self.step_times.append(dt)
+                    self._record(i, out, meta)
 
             def flush():
                 nonlocal state
                 if not pending:
                     return
-                t0 = time.perf_counter()
                 if len(pending) == 1:
                     state, out = self.engine.step(state, pending[0][1])
-                    outs = [jax.tree.map(np.asarray, out)]
+                    outs = [out]
                 else:
                     import jax.numpy as jnp
 
@@ -162,14 +252,13 @@ class StreamRunner:
                         jnp.stack([getattr(f, k) for _, f, _ in pending])
                         for k in Frame._fields])
                     state, outs_stacked = self.engine.run_chunk(state, stacked)
-                    outs_stacked = jax.tree.map(np.asarray, outs_stacked)
                     outs = [jax.tree.map(lambda a, j=j: a[j], outs_stacked)
                             for j in range(len(pending))]
-                dt = (time.perf_counter() - t0) / len(pending)
                 for (i, _, meta), out in zip(pending, outs):
-                    self.step_times.append(dt)
-                    self._record(i, out, meta)
+                    deferred.append((i, out, meta))
                 pending.clear()
+                if len(deferred) >= self.defer_window:
+                    materialize()
 
             for i, item in enumerate(iter(stream)):
                 if i < start:
@@ -186,6 +275,7 @@ class StreamRunner:
 
                 if self.checkpoint_every and (i + 1) % self.checkpoint_every == 0:
                     flush()
+                    materialize()
                     save_state(osp.join(self.exppath, "checkpoint.npz"), state)
                 if (i + 1) % self.log_every == 0 and self.mpjpe_all:
                     print(
@@ -195,6 +285,7 @@ class StreamRunner:
                         f"{1.0 / np.mean(self.step_times[-self.log_every:]):.2f} fps"
                     )
             flush()
+            materialize()
         finally:
             if self.profile_dir:
                 jax.profiler.stop_trace()
@@ -291,12 +382,17 @@ class StreamRunner:
         """Artifact-dump parity with reference dynaboa_benchmark.py:105-123."""
         ex = self.exppath
         mean = lambda v: float(np.mean(v)) if len(v) else float("nan")
+        # the first materialization window absorbs XLA compilation; report
+        # steady-state throughput when there is anything beyond it
+        steady = (self.step_times[self.defer_window:]
+                  if len(self.step_times) > self.defer_window
+                  else self.step_times)
         summary = {
             "mpjpe": mean(self.mpjpe_all),
             "pampjpe": mean(self.pampjpe_all),
             "pve": mean(self.pve_all),
             "frames": len(self.mpjpe_all),
-            "fps": 1.0 / mean(self.step_times) if self.step_times else 0.0,
+            "fps": 1.0 / mean(steady) if steady else 0.0,
         }
         print("--- Final ---")
         print(f"MPJPE:{summary['mpjpe']}, PAMPJPE:{summary['pampjpe']}, "
