@@ -23,7 +23,6 @@ XLA program: no host sync until the metrics are fetched.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax

@@ -24,7 +24,7 @@ import numpy as np
 
 from dynaboa_tpu.engine.bilevel import AdaptState, BilevelEngine, Frame
 from dynaboa_tpu.engine.checkpoint import load_state, save_state
-from dynaboa_tpu.metrics.writer import RunningMeans, ScalarWriter
+from dynaboa_tpu.metrics.writer import ScalarWriter
 
 
 _fused_preprocess_jit = None

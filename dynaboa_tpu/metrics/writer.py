@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections import defaultdict
 
 
 class ScalarWriter:
@@ -34,22 +33,3 @@ class ScalarWriter:
     def close(self):
         self._f.close()
 
-
-class RunningMeans:
-    """Streaming means for the per-frame metric aggregates the reference
-    prints every 200 frames (dynaboa_benchmark.py:100-101)."""
-
-    def __init__(self):
-        self.sums = defaultdict(float)
-        self.counts = defaultdict(int)
-
-    def update(self, **kv):
-        for k, v in kv.items():
-            self.sums[k] += float(v)
-            self.counts[k] += 1
-
-    def mean(self, k: str) -> float:
-        return self.sums[k] / max(1, self.counts[k])
-
-    def summary(self) -> dict:
-        return {k: self.mean(k) for k in self.sums}

@@ -137,6 +137,32 @@ class TestRunner:
         assert osp.exists(str(tmp_path / "exp" / "image" / "Pred_0.png"))
         assert osp.exists(str(tmp_path / "exp" / "mesh" / "Pred_0.obj"))
 
+    def test_materialize_outputs_roundtrip(self):
+        """The packed two-fetch materialization must reproduce every leaf of
+        every frame's output tree (mixed float/int dtypes, nested dicts)."""
+        import jax.numpy as jnp
+
+        from dynaboa_tpu.engine.runner import materialize_outputs
+
+        rng = np.random.default_rng(3)
+        outs = []
+        for t in range(5):
+            outs.append({
+                "mpjpe": jnp.asarray(rng.normal(size=(1,)), jnp.float32),
+                "optim_steps": jnp.asarray(t, jnp.int32),
+                "verts": jnp.asarray(
+                    rng.normal(size=(1, 7, 3)), jnp.float32),
+                "upper": {"loss": jnp.asarray(rng.normal(), jnp.float32),
+                          "s2dloss": jnp.asarray(rng.normal(), jnp.float32)},
+            })
+        mats = materialize_outputs(outs)
+        assert len(mats) == 5
+        for got, want in zip(mats, outs):
+            for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-6)
+            assert got["optim_steps"].dtype.kind == "i"
+
     def test_frame_from_item_openpose_source(self):
         stream = SyntheticStream(num_frames=1, img_res=IMG, seed=3)
         item = next(iter(stream))
