@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--chunk_size", type=int, default=1,
                    help="frames per lax.scan dispatch (offline throughput)")
+    p.add_argument("--window_size", type=int, default=1,
+                   help="batched-window adaptation: W consecutive frames "
+                        "share one bilevel update (higher MXU occupancy, "
+                        "W-fold fewer updates/frame)")
+    p.add_argument("--defer_window", type=int, default=32,
+                   help="frames of device outputs queued before a host "
+                        "fetch materializes them for logging")
     p.add_argument("--tiny", type=int, default=0,
                    help="CI smoke mode: tiny network + body model")
     p.add_argument("--fused_preprocess", type=int, default=0, choices=[0, 1],
@@ -159,11 +166,14 @@ def main(argv=None):
         save_overlays=bool(args.save_res),
         img_root=paths.pw3d_root,
         faces=system.smpls.neutral.faces,
+        defer_window=getattr(args, "defer_window", 32),
     )
-    state = system.engine.init_state(system.params)
+    W = getattr(args, "window_size", 1)
+    state = system.engine.init_state(system.params, batch_size=W)
     _, summary = runner.run(stream, state, resume_from=args.resume,
                             max_frames=args.max_frames,
-                            chunk_size=args.chunk_size)
+                            chunk_size=args.chunk_size,
+                            window_size=W)
     return summary
 
 

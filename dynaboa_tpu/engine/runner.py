@@ -68,6 +68,29 @@ def _pack_outputs(outs: list):
 _pack_outputs_jit = None
 
 
+_PER_FRAME_KEYS = ("mpjpe", "pampjpe", "pve", "verts", "rotmat", "beta",
+                   "cam")
+
+
+def split_window_out(out: dict, W: int) -> list[dict]:
+    """Split a batched-window step output into W per-frame records.
+
+    Per-frame quantities (metrics, predictions, per-inner-step records)
+    slice along the batch axis; window-level quantities (loss aux,
+    optim_steps, feat sims — one bilevel update per window) are shared by
+    every frame of the window."""
+    res = []
+    for j in range(W):
+        o = {}
+        for k, v in out.items():
+            if k in _PER_FRAME_KEYS or k.startswith("lower_"):
+                o[k] = v[j:j + 1]
+            else:
+                o[k] = v
+        res.append(o)
+    return res
+
+
 def materialize_outputs(outs: list) -> list:
     """Bring a window of on-device step-output trees to the host in O(1)
     round trips.
@@ -125,6 +148,27 @@ def frame_from_item(item: dict, keypoint_source: str = "gt") -> Frame:
         betas=item["betas"][None],
         gender=np.asarray([item["gender"]], np.int32),
     )
+
+
+def frame_from_window(items: list[dict],
+                      keypoint_source: str = "gt") -> Frame:
+    """Stack W consecutive frames into one batched Frame (B = W).
+
+    Batched-window adaptation (SURVEY §2d variant): the window shares ONE
+    bilevel update whose losses average over the W frames, recovering MXU
+    occupancy that batch-1 streaming leaves on the table.  Each frame's
+    prediction/metrics stay per-frame (everything downstream is batched).
+    Temporal semantics: the history ring stores whole windows, so the
+    motion loss pairs frame i of window t with frame i of window
+    t - interval."""
+    frames = [frame_from_item(it, keypoint_source) for it in items]
+    import jax.numpy as jnp
+
+    cat = (jnp.concatenate if any(
+        not isinstance(f.image, np.ndarray) for f in frames)
+        else np.concatenate)
+    return Frame(*[cat([getattr(f, k) for f in frames], axis=0)
+                   for k in Frame._fields])
 
 
 class StreamRunner:
@@ -193,13 +237,21 @@ class StreamRunner:
         resume_from: str | None = None,
         max_frames: int | None = None,
         chunk_size: int = 1,
+        window_size: int = 1,
     ) -> tuple[AdaptState, dict]:
         """chunk_size > 1 dispatches lax.scan chunks (one XLA call per
         ``chunk_size`` frames) instead of per-frame steps — higher offline
         throughput.  Results are structurally identical (same dynamic-loop
         step counts); weights can differ on isolated near-zero-gradient
         coordinates by O(lr) because Adam amplifies fusion-order fp noise
-        into sign flips (tested seam: tests/test_engine.py TestChunkedScan)."""
+        into sign flips (tested seam: tests/test_engine.py TestChunkedScan).
+
+        window_size > 1 enables batched-window adaptation (SURVEY §2d
+        variant): W consecutive frames share one bilevel update whose
+        losses average over the window — higher MXU occupancy per update,
+        W-fold fewer updates per frame.  ``init_state`` must be built with
+        ``batch_size=window_size``.  Composes with chunk_size (a scan over
+        windows)."""
         state = init_state
         start = 0
         if resume_from and osp.exists(resume_from):
@@ -223,27 +275,40 @@ class StreamRunner:
             def materialize():
                 # Fetching the queued outputs forces completion of the whole
                 # on-device chain up to the newest frame, so wall time since
-                # the previous materialization divided by the window size is
+                # the previous materialization divided by the frame count is
                 # the honest per-frame cost (fetch itself cannot misreport —
                 # see docs/PERF.md on block_until_ready).
                 nonlocal win_t0
                 if not deferred:
                     return
                 outs_np = materialize_outputs([out for _, out, _ in deferred])
-                dt = (time.perf_counter() - win_t0) / len(deferred)
+                n_frames = sum(
+                    len(m) if isinstance(m, list) else 1
+                    for _, _, m in deferred)
+                dt = (time.perf_counter() - win_t0) / max(1, n_frames)
                 win_t0 = time.perf_counter()
                 idx_meta = [(i, meta) for i, _, meta in deferred]
                 deferred.clear()
                 for (i, meta), out in zip(idx_meta, outs_np):
-                    self.step_times.append(dt)
-                    self._record(i, out, meta)
+                    if isinstance(meta, list):   # batched window: B = W
+                        for j, (m, o) in enumerate(
+                                zip(meta, split_window_out(out, len(meta)))):
+                            self.step_times.append(dt)
+                            self._record(i + j, o, m)
+                    else:
+                        self.step_times.append(dt)
+                        self._record(i, out, meta)
 
             def flush():
                 nonlocal state
                 if not pending:
                     return
                 if len(pending) == 1:
-                    state, out = self.engine.step(state, pending[0][1])
+                    # explicit async device_put: passing numpy arguments to
+                    # the jitted step uploads them inline with the dispatch
+                    # (measured ~5x slower per step on the tunneled TPU)
+                    state, out = self.engine.step(
+                        state, jax.device_put(pending[0][1]))
                     outs = [out]
                 else:
                     import jax.numpy as jnp
@@ -251,25 +316,43 @@ class StreamRunner:
                     stacked = Frame(*[
                         jnp.stack([getattr(f, k) for _, f, _ in pending])
                         for k in Frame._fields])
-                    state, outs_stacked = self.engine.run_chunk(state, stacked)
+                    state, outs_stacked = self.engine.run_chunk(
+                        state, jax.device_put(stacked))
                     outs = [jax.tree.map(lambda a, j=j: a[j], outs_stacked)
                             for j in range(len(pending))]
                 for (i, _, meta), out in zip(pending, outs):
                     deferred.append((i, out, meta))
                 pending.clear()
-                if len(deferred) >= self.defer_window:
+                n_deferred_frames = sum(
+                    len(m) if isinstance(m, list) else 1
+                    for _, _, m in deferred)
+                if n_deferred_frames >= self.defer_window:
                     materialize()
 
+            win_items: list[tuple[int, dict]] = []
+            # state.step counts engine steps = windows; frames = step * W
+            frame_start = start * window_size
+
             for i, item in enumerate(iter(stream)):
-                if i < start:
+                if i < frame_start:
                     continue
                 if max_frames is not None and i >= max_frames:
                     break
-                frame = frame_from_item(item, keypoint_source)
-                meta = {k: item[k] for k in ("imgname", "bbox")
-                        if k in item}
-                with jax.profiler.StepTraceAnnotation("boa_step", step_num=i):
+                if window_size == 1:
+                    frame = frame_from_item(item, keypoint_source)
+                    meta = {k: item[k] for k in ("imgname", "bbox")
+                            if k in item}
                     pending.append((i, frame, meta))
+                else:
+                    win_items.append((i, item))
+                    if len(win_items) == window_size:
+                        frame = frame_from_window(
+                            [it for _, it in win_items], keypoint_source)
+                        metas = [{k: it[k] for k in ("imgname", "bbox")
+                                  if k in it} for _, it in win_items]
+                        pending.append((win_items[0][0], frame, metas))
+                        win_items = []
+                with jax.profiler.StepTraceAnnotation("boa_step", step_num=i):
                     if len(pending) >= chunk_size:
                         flush()
 
@@ -284,6 +367,9 @@ class StreamRunner:
                         f"PVE:{np.mean(self.pve_all):.2f}, "
                         f"{1.0 / np.mean(self.step_times[-self.log_every:]):.2f} fps"
                     )
+            if win_items:
+                print(f"---> dropping {len(win_items)} tail frames "
+                      f"(stream length not a multiple of window_size)")
             flush()
             materialize()
         finally:
