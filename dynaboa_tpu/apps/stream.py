@@ -19,13 +19,11 @@ Usage:
 
 from __future__ import annotations
 
-import argparse
 import os
 import os.path as osp
 
 import numpy as np
 
-from dynaboa_tpu import constants
 
 
 def build_parser():
@@ -82,7 +80,6 @@ def main(argv=None):
     os.makedirs(exppath, exist_ok=True)
 
     import cv2
-    import jax
 
     from dynaboa_tpu.apps.benchmark import cfg_from_args
     from dynaboa_tpu.apps.common import build_system, write_settings

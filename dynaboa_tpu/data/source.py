@@ -15,7 +15,6 @@ import os.path as osp
 import numpy as np
 import jax.numpy as jnp
 
-from dynaboa_tpu import constants
 from dynaboa_tpu.data.streams import _imread_rgb, crop_and_normalize
 from dynaboa_tpu.engine.retrieval import ExemplarBank
 from dynaboa_tpu.ops import image as I

@@ -23,9 +23,6 @@ CPU-mesh tests and for ``share_weights`` replicated adaptation.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ programs over optax Adam state, so one fit is two XLA dispatches instead of
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax
