@@ -40,20 +40,25 @@ def main(argv=None):
                 num_vertices=256) if getattr(args, "tiny", 0) else {}
     system = build_system(cfg, paths, compute_metrics=False, **tiny)
 
+    fused = bool(getattr(args, "fused_preprocess", 0))
     if args.synthetic:
-        stream = SyntheticStream(num_frames=args.synthetic, seed=args.seq_seed)
+        stream = SyntheticStream(num_frames=args.synthetic, seed=args.seq_seed,
+                                 fused_preprocess=fused)
     else:
-        stream = InternetStream(paths.internet_root)
+        stream = InternetStream(paths.internet_root, fused_preprocess=fused)
 
     runner = StreamRunner(system.engine, exppath, save_predictions=True,
                           checkpoint_every=args.checkpoint_every,
                           profile_dir=args.profile_dir,
                           save_overlays=bool(getattr(args, "save_res", 0)),
                           img_root=paths.internet_root,
-                          faces=system.smpls.neutral.faces)
-    state = system.engine.init_state(system.params)
+                          faces=system.smpls.neutral.faces,
+                          defer_window=getattr(args, "defer_window", 32))
+    W = getattr(args, "window_size", 1)
+    state = system.engine.init_state(system.params, batch_size=W)
     _, summary = runner.run(stream, state, resume_from=args.resume,
-                            max_frames=args.max_frames)
+                            max_frames=args.max_frames,
+                            chunk_size=args.chunk_size, window_size=W)
     return summary
 
 
