@@ -27,7 +27,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:                                    # jax >= 0.8
+    from jax import shard_map
+except ImportError:                     # older jax
+    from jax.experimental.shard_map import shard_map
 
 from dynaboa_tpu.engine.bilevel import AdaptState, BilevelEngine, Frame
 
@@ -73,13 +77,15 @@ class ParallelStreams:
             return new_state, out
 
         spec = P(self.axis)
-        self._step = jax.jit(
-            shard_map(
-                local_step, mesh=self.mesh,
-                in_specs=(spec, spec), out_specs=(spec, spec),
-                check_rep=False,
-            )
-        )
+        try:        # jax >= 0.8: replication checking flag renamed
+            smapped = shard_map(local_step, mesh=self.mesh,
+                                in_specs=(spec, spec),
+                                out_specs=(spec, spec), check_vma=False)
+        except TypeError:
+            smapped = shard_map(local_step, mesh=self.mesh,
+                                in_specs=(spec, spec),
+                                out_specs=(spec, spec), check_rep=False)
+        self._step = jax.jit(smapped)
 
     # -- state management ----------------------------------------------------
 
