@@ -51,7 +51,9 @@ def main(argv=None):
                           checkpoint_every=args.checkpoint_every,
                           profile_dir=args.profile_dir,
                           save_overlays=bool(getattr(args, "save_res", 0)),
-                          img_root=paths.internet_root,
+                          # InternetStream imgnames are relative to the
+                          # stream's images/ subdirectory (streams.py _load)
+                          img_root=osp.join(paths.internet_root, "images"),
                           faces=system.smpls.neutral.faces,
                           defer_window=getattr(args, "defer_window", 32))
     W = getattr(args, "window_size", 1)

@@ -253,7 +253,8 @@ class SyntheticStream:
         raw = np.kron(low, np.ones((8, 8, 1))).astype(np.uint8)
         center = np.asarray([raw_res / 2.0, raw_res / 2.0], np.float32)
         scale = np.float32(self.img_res * 1.1 / 200.0)
-        return {"raw_image": raw, "center": center, "scale": scale}
+        return {"raw_image": raw, "center": center, "scale": scale,
+                "out_res": self.img_res}
 
     def _make(self, i: int) -> dict:
         r = self.rng

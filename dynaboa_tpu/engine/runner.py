@@ -27,25 +27,25 @@ from dynaboa_tpu.engine.checkpoint import load_state, save_state
 from dynaboa_tpu.metrics.writer import ScalarWriter
 
 
-_fused_preprocess_jit = None
+_fused_preprocess_jits: dict[int, Any] = {}
 
 
-def _fused_preprocess(raw: np.ndarray, center, scale):
+def _fused_preprocess(raw: np.ndarray, center, scale, out_res: int):
     """On-device crop/resize/normalize for raw-frame stream items (one jitted
-    gather graph per raw shape; SURVEY §7 fused-preprocessing north star)."""
-    global _fused_preprocess_jit
+    gather graph per (raw shape, out_res); SURVEY §7 fused-preprocessing
+    north star)."""
     import jax
     import jax.numpy as jnp
 
-    if _fused_preprocess_jit is None:
+    fn = _fused_preprocess_jits.get(out_res)
+    if fn is None:
         from dynaboa_tpu.ops import image as I
 
-        _fused_preprocess_jit = jax.jit(
-            lambda im, c, s: I.fused_crop_resize_normalize(
-                im.astype(jnp.float32), c, s))
-    return _fused_preprocess_jit(
-        jnp.asarray(raw), jnp.asarray(center, jnp.float32),
-        jnp.asarray(scale, jnp.float32))
+        fn = jax.jit(lambda im, c, s: I.fused_crop_resize_normalize(
+            im.astype(jnp.float32), c, s, out_res=out_res))
+        _fused_preprocess_jits[out_res] = fn
+    return fn(jnp.asarray(raw), jnp.asarray(center, jnp.float32),
+              jnp.asarray(scale, jnp.float32))
 
 
 def _pack_outputs(outs: list):
@@ -137,8 +137,11 @@ def frame_from_item(item: dict, keypoint_source: str = "gt") -> Frame:
     host-preprocessed (the reference's path, utils/dataprocess.py:48-96)."""
     j2d = item["op_j2d"] if keypoint_source == "openpose" else item["smpl_j2d"]
     if "raw_image" in item:
-        image = _fused_preprocess(item["raw_image"], item["center"],
-                                  item["scale"])[None]
+        from dynaboa_tpu import constants
+
+        image = _fused_preprocess(
+            item["raw_image"], item["center"], item["scale"],
+            int(item.get("out_res", constants.IMG_RES)))[None]
     else:
         image = item["image"][None]
     return Frame(
@@ -213,6 +216,8 @@ class StreamRunner:
         self.reset_records()
 
     def reset_records(self):
+        self._renderers: dict[tuple[int, int], Any] = {}
+        self._first_batch_frames: int = 0
         self.mpjpe_all: list[float] = []
         self.pampjpe_all: list[float] = []
         self.pve_all: list[float] = []
@@ -285,6 +290,9 @@ class StreamRunner:
                 n_frames = sum(
                     len(m) if isinstance(m, list) else 1
                     for _, _, m in deferred)
+                if not self._first_batch_frames:
+                    # remember how many frames share the compile-tainted dt
+                    self._first_batch_frames = n_frames
                 dt = (time.perf_counter() - win_t0) / max(1, n_frames)
                 win_t0 = time.perf_counter()
                 idx_meta = [(i, meta) for i, _, meta in deferred]
@@ -427,9 +435,11 @@ class StreamRunner:
             # under the 'cam' key (dynaboa_internet.py:157-159,
             # dynaboa_benchmark.py:248-254); the raw crop-space cam rides
             # along as 'cam_crop'
+            from dynaboa_tpu import constants
+
             cam = np.asarray(out["cam"])
-            tz = (2.0 * 5000.0
-                  / (224.0 * cam[:, 0] + 1e-9))
+            tz = (2.0 * constants.FOCAL_LENGTH
+                  / (constants.IMG_RES * cam[:, 0] + 1e-9))
             cam_t = np.stack([cam[:, 1], cam[:, 2], tz], axis=-1)
             np.savez(
                 osp.join(self.exppath, "result", f"Pred_{i}.npz"),
@@ -450,16 +460,26 @@ class StreamRunner:
             return
         import cv2
 
-        from dynaboa_tpu.viz.renderer import render_overlay, save_obj
+        from dynaboa_tpu.viz.renderer import (Renderer, save_obj,
+                                              convert_crop_cam_to_orig_img)
 
         img = cv2.imread(path)
         if img is None:
             return
         verts = np.asarray(out["verts"])[0]
         cam3 = np.asarray(out["cam"])[0]
-        over = render_overlay(img, verts, cam3, np.asarray(meta["bbox"]),
-                              self.faces, color=(205 / 255, 129 / 255,
-                                                 98 / 255))
+        h, w = img.shape[:2]
+        # one cached renderer per image size (the reference rebuilds its EGL
+        # renderer every frame, dynaboa_webcam.py:77 — deliberately avoided)
+        rend = self._renderers.get((w, h))
+        if rend is None:
+            rend = Renderer(resolution=(w, h), faces=self.faces)
+            self._renderers[(w, h)] = rend
+        orig_cam = convert_crop_cam_to_orig_img(
+            np.asarray(cam3, np.float32).reshape(1, 3),
+            np.asarray(meta["bbox"], np.float32).reshape(1, 3), w, h)[0]
+        over = rend.render(img, verts, orig_cam,
+                           color=(205 / 255, 129 / 255, 98 / 255))
         cv2.imwrite(osp.join(self.exppath, "image", f"Pred_{i}.png"), over)
         save_obj(osp.join(self.exppath, "mesh", f"Pred_{i}.obj"), verts,
                  self.faces)
@@ -468,10 +488,13 @@ class StreamRunner:
         """Artifact-dump parity with reference dynaboa_benchmark.py:105-123."""
         ex = self.exppath
         mean = lambda v: float(np.mean(v)) if len(v) else float("nan")
-        # the first materialization window absorbs XLA compilation; report
-        # steady-state throughput when there is anything beyond it
-        steady = (self.step_times[self.defer_window:]
-                  if len(self.step_times) > self.defer_window
+        # the FIRST materialization batch absorbs XLA compilation (all of its
+        # frames share one compile-tainted dt, and it can exceed
+        # defer_window when chunking/windowing batch frames); report
+        # steady-state throughput when anything lies beyond it
+        first_n = self._first_batch_frames or self.defer_window
+        steady = (self.step_times[first_n:]
+                  if len(self.step_times) > first_n
                   else self.step_times)
         summary = {
             "mpjpe": mean(self.mpjpe_all),

@@ -87,18 +87,21 @@ class TestRunner:
         """--fused_preprocess parity: a raw-frame item cropped on device must
         match the host crop path (reference utils/dataprocess.py:48-96) on
         the same frame, and the engine must accept the result end-to-end."""
-        from dynaboa_tpu.data.streams import crop_and_normalize
+        from dynaboa_tpu import constants
+        from dynaboa_tpu.ops import image as I
 
         stream = SyntheticStream(num_frames=2, img_res=IMG, seed=7,
                                  fused_preprocess=True)
         item = next(iter(stream))
         assert "raw_image" in item and "image" not in item
         f = frame_from_item(item)
-        assert f.image.shape == (1, 224, 224, 3)
+        # the fused path honors the stream's crop resolution
+        assert f.image.shape == (1, IMG, IMG, 3)
 
-        host = crop_and_normalize(
-            item["raw_image"].astype(np.float32), item["center"],
-            float(item["scale"]))
+        host = I.crop_numpy(item["raw_image"].astype(np.float32),
+                            item["center"], float(item["scale"]),
+                            [IMG, IMG]).astype(np.float32) / 255.0
+        host = (host - constants.IMG_NORM_MEAN) / constants.IMG_NORM_STD
         dev = np.asarray(f.image[0])
         assert np.abs(dev - host).mean() < 5e-2
         assert np.isfinite(dev).all()
