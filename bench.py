@@ -164,6 +164,25 @@ def measure_windowed(system, frames, label, W=8, n_steps=12):
     return fps
 
 
+def measure_runner(system, label, n_frames=96):
+    """Product-path throughput: the StreamRunner (deferred recording, packed
+    fetches, per-frame preprocessing + JSONL logging) over a synthetic
+    stream — what `python -m dynaboa_tpu.apps.benchmark` delivers."""
+    import tempfile
+
+    from dynaboa_tpu.data import SyntheticStream
+    from dynaboa_tpu.engine.runner import StreamRunner
+
+    stream = SyntheticStream(num_frames=n_frames, seed=5)
+    with tempfile.TemporaryDirectory() as d:
+        runner = StreamRunner(system.engine, d, log_every=10_000)
+        state = system.engine.init_state(system.params)
+        _, summary = runner.run(stream, state)
+    log(f"[{label}] runner steady-state: {summary['fps']:.2f} fps "
+        f"({summary['frames']} frames)")
+    return summary["fps"]
+
+
 def single_step_mpjpe(system, frame, label=""):
     import jax
 
@@ -212,6 +231,7 @@ def main():
 
     fps_chunk = measure_chunked(flag_sys, frames, flag_label)
     fps_windowed = measure_windowed(flag_sys, frames, flag_label)
+    fps_runner = measure_runner(flag_sys, flag_label)
 
     fps = max(fps_stream, fps_chunk)
     print(json.dumps({
@@ -226,6 +246,7 @@ def main():
         "worst_case_streaming_fps": round(wc_fps, 3),
         "worst_case_extra_steps": round(wc_extra, 2),
         "windowed8_aggregate_fps": round(fps_windowed, 3),
+        "runner_steady_fps": round(fps_runner, 3),
         "fp32_streaming_fps": round(fps32_stream, 3),
         "bf16_single_step_mpjpe_rel": round(prec_rel, 5),
     }))

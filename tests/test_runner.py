@@ -155,6 +155,29 @@ class TestRunner:
         # per-frame metrics are real per-frame values, not window copies
         assert len(set(np.round(runner.mpjpe_all, 6))) > 1
 
+    def test_window_composes_with_chunked_scan(self, engine, tmp_path):
+        """chunk_size scans over WINDOWS: 8 frames = 4 windows of 2 = 2 scan
+        dispatches of 2 windows each."""
+        eng, params = engine
+        stream = SyntheticStream(num_frames=8, img_res=IMG, seed=11)
+        runner = StreamRunner(eng, str(tmp_path), log_every=100)
+        state = eng.init_state(params, batch_size=2, img_res=IMG)
+        state, summary = runner.run(stream, state, window_size=2,
+                                    chunk_size=2)
+        assert summary["frames"] == 8
+        assert int(state.step) == 4
+
+    def test_window_composes_with_fused_preprocess(self, engine, tmp_path):
+        eng, params = engine
+        stream = SyntheticStream(num_frames=4, img_res=IMG, seed=12,
+                                 fused_preprocess=True)
+        runner = StreamRunner(eng, str(tmp_path), log_every=100)
+        state = eng.init_state(params, batch_size=2, img_res=IMG)
+        state, summary = runner.run(stream, state, window_size=2)
+        assert summary["frames"] == 4
+        assert int(state.step) == 2
+        assert np.isfinite(summary["mpjpe"])
+
     def test_window_drops_partial_tail(self, engine, tmp_path):
         eng, params = engine
         stream = SyntheticStream(num_frames=5, img_res=IMG, seed=9)
