@@ -303,7 +303,7 @@ class TorchTapHMR(tn.Module):
 # ---------------------------------------------------------------------------
 
 class TorchRefAdaptor:
-    def __init__(self, net, smpl, prior, cfg, exemplar):
+    def __init__(self, net, smpl, prior, cfg, exemplar, store=None):
         self.model = net
         self.teacher = copy.deepcopy(net)
         self.smpl = smpl
@@ -311,6 +311,16 @@ class TorchRefAdaptor:
         self.optimizer = torch.optim.Adam(
             self.model.parameters(), lr=cfg.lr, betas=(cfg.beta1, cfg.beta2))
         self.exemplar = exemplar     # fixed labeled batch (retrieval off)
+        # (centers, bank-dict) for reference-exact retrieval
+        # (base_adaptor.py:82-96): cosine to centers, nearest cluster; the
+        # parity store has one member per cluster so random.sample of one
+        # element is deterministic
+        self.store = store
+        # When set, the next _labeled_loss retrieval keys off this feature
+        # instead of the loss forward's own — used to pin the engine's ONE
+        # documented retrieval divergence (upper update 0 keys off the
+        # pre-inner-step features; see docs/PARITY.md item 1)
+        self.retrieval_feat_override = None
         self.history = {}
         self.global_step = 0
         self.gmm_means = torch.tensor(np.asarray(prior.means))
@@ -362,8 +372,20 @@ class TorchRefAdaptor:
             torch.ones(1), torch.zeros(1))
         return ((pred_motion - gt_motion) ** 2 * conf).mean()
 
-    def _labeled_loss(self, net):
-        ex = self.exemplar
+    def _labeled_loss(self, net, feat5=None):
+        if self.store is not None:
+            # reference retrieval keyed on the loss forward's own pooled
+            # feature (base_adaptor.py:261-262,310-311)
+            centers, bank = self.store
+            if self.retrieval_feat_override is not None:
+                feat5 = self.retrieval_feat_override
+            f = feat5[0].detach()
+            f = f / f.norm()
+            c = centers / centers.norm(dim=1, keepdim=True)
+            k = int(torch.argmax(c @ f))
+            ex = {key: v[k:k + 1] for key, v in bank.items()}
+        else:
+            ex = self.exemplar
         rotmat, shape, cam, _ = net(ex["img"], need_feature=True)
         s3d, _ = self._decode(rotmat, shape)
         gt_rotmat = t_batch_rodrigues(
@@ -403,7 +425,8 @@ class TorchRefAdaptor:
             loss = loss + self._motion_loss(
                 net, s2d[:, 25:], j2d) * self.cfg.motionloss_weight
         if use_mix:
-            loss = loss + self._labeled_loss(net) * self.cfg.labelloss_weight
+            loss = loss + self._labeled_loss(
+                net, feats[5]) * self.cfg.labelloss_weight
         return loss, feats
 
     # --- control flow (dynaboa_benchmark.py:126-201) ---
@@ -434,8 +457,15 @@ class TorchRefAdaptor:
                     p.sub_(cfg.fastlr * gi)
 
         # upper update 0: gradient at the adapted params applied to the base
-        # model (learn2learn first_order semantics: d adapted / d base = I)
+        # model (learn2learn first_order semantics: d adapted / d base = I).
+        # With a retrieval store, this one call keys retrieval off the
+        # pre-inner features — the engine's implemented semantics, whose
+        # deviation from the reference's own-forward features is the
+        # documented divergence quantified in TestRetrievalStaleness.
+        if self.store is not None:
+            self.retrieval_feat_override = init_features[5]
         upper_loss, _ = self._level_loss(learner, image, j2d, "upper")
+        self.retrieval_feat_override = None
         g = torch.autograd.grad(upper_loss, list(learner.parameters()))
         self.optimizer.zero_grad()
         for p, gi in zip(self.model.parameters(), g):
@@ -639,6 +669,75 @@ class TestComposedStepParity:
         assert 0 < sum(counts) < self.N_FRAMES * cfg.optim_steps, counts
         eng, state, outs = run_jax(parity_setup, cfg, frames, thr=thr)
         self._compare(parity_setup, thr, recs, state, outs)
+
+
+class TestComposedStepParityWithRetrieval:
+    """The FULL program including on-device retrieval, pinned against the
+    torch reference implementation.  The store has exactly one member per
+    cluster, so the reference's ``random.sample`` of one element and the
+    engine's Gumbel top-k over one valid slot are both deterministic — the
+    only remaining freedom is WHICH cluster each side picks, which is
+    exactly the retrieval semantics under test (incl. the documented
+    upper-update-0 feature-staleness divergence, whose cluster choice must
+    not flip)."""
+
+    N_FRAMES = 3
+
+    def _deterministic_store(self, parity_setup, n_clusters=6):
+        from dynaboa_tpu.engine.retrieval import build_store, ExemplarBank
+
+        _, _, _, _, _, _, base_store, _ = parity_setup
+        bank = ExemplarBank(*[a[:n_clusters] for a in base_store.bank])
+        rng = np.random.default_rng(21)
+        centers = rng.normal(size=(n_clusters, XF)).astype(np.float32)
+        store = build_store(centers, [[i] for i in range(n_clusters)], bank)
+        bank_t = {
+            "img": torch.tensor(np.asarray(bank.images)).permute(0, 3, 1, 2),
+            "keypoints": torch.tensor(np.asarray(bank.keypoints)),
+            "pose": torch.tensor(np.asarray(bank.pose)),
+            "betas": torch.tensor(np.asarray(bank.betas)),
+            "pose_3d": torch.tensor(np.asarray(bank.pose_3d)),
+        }
+        return store, (torch.tensor(centers), bank_t)
+
+    def test_full_program_with_retrieval(self, parity_setup):
+        tnet, params, model, tsmpl, smpls, prior, _, exemplar = parity_setup
+        store, torch_store = self._deterministic_store(parity_setup)
+        cfg = make_cfg(retrieval=True)
+        frames = make_frames(self.N_FRAMES, seed=13)
+
+        adaptor = TorchRefAdaptor(copy.deepcopy(tnet), tsmpl, prior, cfg,
+                                  exemplar, store=torch_store)
+        recs = []
+        for fr in frames:
+            recs.append(adaptor.adaptation(
+                torch.tensor(fr["image"]).permute(0, 3, 1, 2),
+                torch.tensor(fr["j2d"]), thr=-1.0))
+
+        eng = BilevelEngine(cfg, model, prior, smpls, store,
+                            compute_metrics=False)
+        state = eng.init_state(params, img_res=IMG)
+        outs = []
+        for fr in frames:
+            frame = Frame(
+                image=jnp.asarray(fr["image"]), j2d=jnp.asarray(fr["j2d"]),
+                pose=jnp.zeros((1, 72)), betas=jnp.zeros((1, 10)),
+                gender=jnp.zeros((1,), jnp.int32))
+            state, out = eng.step(state, frame, cos_sim_threshold=-1.0)
+            outs.append(out)
+
+        for r, o in zip(recs, outs):
+            # matching upper losses imply both sides retrieved the SAME
+            # exemplar (the labeled loss depends on which one was drawn)
+            np.testing.assert_allclose(
+                float(np.asarray(o["upper"]["loss"])), r["upper_loss0"],
+                rtol=2e-3, atol=2e-5)
+        n_updates = self.N_FRAMES * (1 + cfg.optim_steps)
+        tol = 4 * n_updates * cfg.lr
+        flat_t, _ = torch_params_as_jax_tree(adaptor.model, state.params)
+        for a, b in zip(flat_t, jax.tree.leaves(state.params)):
+            d = np.abs(np.asarray(a) - np.asarray(b)).max()
+            assert d < tol, d
 
 
 class TestRetrievalStaleness:
