@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--defer_window", type=int, default=32,
                    help="frames of device outputs queued before a host "
                         "fetch materializes them for logging")
+    p.add_argument("--auto_reset", type=int, default=0, choices=[0, 1],
+                   help="reset model/teacher/optimizer automatically when "
+                        "adaptation diverges (non-finite loss/metrics)")
     p.add_argument("--tiny", type=int, default=0,
                    help="CI smoke mode: tiny network + body model")
     p.add_argument("--fused_preprocess", type=int, default=0, choices=[0, 1],
@@ -173,7 +176,8 @@ def main(argv=None):
     _, summary = runner.run(stream, state, resume_from=args.resume,
                             max_frames=args.max_frames,
                             chunk_size=args.chunk_size,
-                            window_size=W)
+                            window_size=W,
+                            auto_reset=bool(getattr(args, "auto_reset", 0)))
     return summary
 
 

@@ -60,7 +60,8 @@ def main(argv=None):
     state = system.engine.init_state(system.params, batch_size=W)
     _, summary = runner.run(stream, state, resume_from=args.resume,
                             max_frames=args.max_frames,
-                            chunk_size=args.chunk_size, window_size=W)
+                            chunk_size=args.chunk_size, window_size=W,
+                            auto_reset=bool(getattr(args, "auto_reset", 0)))
     return summary
 
 

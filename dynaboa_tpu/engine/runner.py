@@ -243,6 +243,7 @@ class StreamRunner:
         max_frames: int | None = None,
         chunk_size: int = 1,
         window_size: int = 1,
+        auto_reset: bool = False,
     ) -> tuple[AdaptState, dict]:
         """chunk_size > 1 dispatches lax.scan chunks (one XLA call per
         ``chunk_size`` frames) instead of per-frame steps — higher offline
@@ -256,13 +257,29 @@ class StreamRunner:
         losses average over the window — higher MXU occupancy per update,
         W-fold fewer updates per frame.  ``init_state`` must be built with
         ``batch_size=window_size``.  Composes with chunk_size (a scan over
-        windows)."""
+        windows).
+
+        auto_reset=True makes divergence recovery automatic: when a
+        materialized frame's loss or metrics go non-finite, the adaptation
+        state resets to the initial weights (the reference only offers this
+        as the webcam path's interactive 'r' key, dynaboa_webcam.py:184-195).
+        Detection lags by up to ``defer_window`` frames (the recording is
+        deferred); the reset applies from the next flush."""
         state = init_state
         start = 0
         if resume_from and osp.exists(resume_from):
             state = load_state(resume_from, init_state)
             start = int(state.step)
             print(f"---> resumed at frame {start}")
+
+        reset_template = None
+        if auto_reset:
+            # host snapshot of the initial weights (the live state is donated
+            # to every step, so the originals won't survive)
+            reset_template = jax.tree.map(np.asarray, state.params)
+            reset_batch = int(state.hist_images.shape[1])
+            reset_res = int(state.hist_images.shape[2])
+        self.reset_count = 0
 
         n_total = len(stream)
         if self.profile_dir:
@@ -283,7 +300,7 @@ class StreamRunner:
                 # the previous materialization divided by the frame count is
                 # the honest per-frame cost (fetch itself cannot misreport —
                 # see docs/PERF.md on block_until_ready).
-                nonlocal win_t0
+                nonlocal win_t0, state
                 if not deferred:
                     return
                 outs_np = materialize_outputs([out for _, out, _ in deferred])
@@ -297,6 +314,7 @@ class StreamRunner:
                 win_t0 = time.perf_counter()
                 idx_meta = [(i, meta) for i, _, meta in deferred]
                 deferred.clear()
+                diverged_at = None
                 for (i, meta), out in zip(idx_meta, outs_np):
                     if isinstance(meta, list):   # batched window: B = W
                         for j, (m, o) in enumerate(
@@ -306,6 +324,23 @@ class StreamRunner:
                     else:
                         self.step_times.append(dt)
                         self._record(i, out, meta)
+                    if reset_template is not None and diverged_at is None:
+                        bad = (not np.isfinite(out.get("mpjpe", 0.0)).all()
+                               or not np.isfinite(np.asarray(
+                                   out.get("upper", {}).get("loss", 0.0))
+                               ).all())
+                        if bad:
+                            diverged_at = i
+                if diverged_at is not None:
+                    # divergence remedy, automated (reference reload():
+                    # dynaboa_webcam.py:184-195 — interactive-only there)
+                    self.reset_count += 1
+                    print(f"---> non-finite adaptation detected at frame "
+                          f"{diverged_at}; resetting model/teacher/optimizer "
+                          f"(reset #{self.reset_count})")
+                    state = self.engine.init_state(
+                        reset_template, batch_size=reset_batch,
+                        img_res=reset_res)
 
             def flush():
                 nonlocal state

@@ -186,6 +186,36 @@ class TestRunner:
         _, summary = runner.run(stream, state, window_size=2)
         assert summary["frames"] == 4          # 5th frame dropped
 
+    def test_auto_reset_on_divergence(self, tmp_path):
+        """auto_reset: non-finite losses/metrics trigger an automatic
+        model/teacher/optimizer reset (the reference offers this only as the
+        webcam path's interactive 'r' key)."""
+        from dynaboa_tpu.losses import synthetic_gmm_prior
+        from dynaboa_tpu.engine import synthetic_store
+        from dynaboa_tpu.models.hmr import HMR, init_hmr_params
+        from tests.test_engine import make_smpls
+
+        # an absurd outer lr makes the weights explode within a frame or two
+        cfg = AdaptConfig(lr=1e12, dynamic_boa=False, use_meanteacher=False,
+                          use_motion=False, retrieval=False,
+                          lower_level_mixtrain=False,
+                          upper_level_mixtrain=False,
+                          record_lowerlevel=False)
+        model = HMR(layers=(1, 1, 1, 1), width=WIDTH, regressor_dim=128)
+        params = init_hmr_params(model, jax.random.PRNGKey(0),
+                                 input_shape=(1, IMG, IMG, 3))
+        eng = BilevelEngine(cfg, model, synthetic_gmm_prior(seed=4),
+                            make_smpls(),
+                            synthetic_store(seed=6, img_res=IMG,
+                                            feat_dim=8 * WIDTH * 4))
+        stream = SyntheticStream(num_frames=6, img_res=IMG, seed=2)
+        runner = StreamRunner(eng, str(tmp_path), log_every=100,
+                              defer_window=2)
+        state = eng.init_state(params, img_res=IMG)
+        state, summary = runner.run(stream, state, auto_reset=True)
+        assert runner.reset_count >= 1
+        assert summary["frames"] == 6    # the run completes regardless
+
     def test_materialize_outputs_roundtrip(self):
         """The packed two-fetch materialization must reproduce every leaf of
         every frame's output tree (mixed float/int dtypes, nested dicts)."""
