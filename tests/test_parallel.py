@@ -79,6 +79,31 @@ class TestParallelStreams:
             par.init_states(params, 6, img_res=IMG)
 
 
+class TestSharedWeights:
+    def test_replicated_streams_converge_to_consensus(self, par_setup, rng):
+        """share_weights: after every step the adapted weights are averaged
+        across ALL streams (a psum over the mesh — the framework's one
+        collective) so each stream continues from consensus params."""
+        par_base, params = par_setup
+        par = ParallelStreams(par_base.engine, par_base.mesh,
+                              share_weights=True)
+        S = 8
+        states = par.init_states(params, S, img_res=IMG)
+        frames = stack_frames(make_items(rng, S))
+        new_states, out = par.step(states, frames)
+        leaves = jax.tree.leaves(new_states.params)
+        for leaf in leaves:
+            arr = np.asarray(leaf)
+            # every stream carries identical (consensus) weights
+            np.testing.assert_allclose(
+                arr, np.broadcast_to(arr[:1], arr.shape), rtol=1e-6,
+                atol=1e-7)
+        # and they differ from the initial weights (adaptation happened)
+        d = float(np.abs(np.asarray(leaves[0][0])
+                         - np.asarray(jax.tree.leaves(params)[0])).max())
+        assert d > 0
+
+
 class TestFullProgramParallel:
     """The FULL flagship program — dynamic BOA while_loop + teacher EMA +
     motion + mixtrain + retrieval — under shard_map (what
