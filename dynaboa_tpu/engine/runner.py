@@ -228,11 +228,15 @@ class StreamRunner:
         self.feat_sims: dict[int, list[float]] = {}
         self.optim_step_record: list[int] = []
         self.step_times: list[float] = []
+        self.reset_count: int = 0
+        self.frames_seen: int = 0
 
-    def reset_state(self, params) -> AdaptState:
+    def reset_state(self, params, batch_size: int = 1,
+                    img_res: int = 224) -> AdaptState:
         """Divergence remedy: fresh model/teacher/optimizer
         (reference dynaboa_webcam.py reload():184-195)."""
-        return self.engine.init_state(params)
+        return self.engine.init_state(params, batch_size=batch_size,
+                                      img_res=img_res)
 
     def run(
         self,
@@ -265,21 +269,22 @@ class StreamRunner:
         as the webcam path's interactive 'r' key, dynaboa_webcam.py:184-195).
         Detection lags by up to ``defer_window`` frames (the recording is
         deferred); the reset applies from the next flush."""
+        reset_template = None
+        if auto_reset:
+            # host snapshot of the INITIAL weights, taken before any resume
+            # (a reset must restore the pristine model like the reference's
+            # reload(), not a possibly-degraded checkpoint) and before the
+            # first step donates the live buffers
+            reset_template = jax.tree.map(np.asarray, init_state.params)
+            reset_batch = int(init_state.hist_images.shape[1])
+            reset_res = int(init_state.hist_images.shape[2])
+
         state = init_state
         start = 0
         if resume_from and osp.exists(resume_from):
             state = load_state(resume_from, init_state)
             start = int(state.step)
             print(f"---> resumed at frame {start}")
-
-        reset_template = None
-        if auto_reset:
-            # host snapshot of the initial weights (the live state is donated
-            # to every step, so the originals won't survive)
-            reset_template = jax.tree.map(np.asarray, state.params)
-            reset_batch = int(state.hist_images.shape[1])
-            reset_res = int(state.hist_images.shape[2])
-        self.reset_count = 0
 
         n_total = len(stream)
         if self.profile_dir:
@@ -325,22 +330,30 @@ class StreamRunner:
                         self.step_times.append(dt)
                         self._record(i, out, meta)
                     if reset_template is not None and diverged_at is None:
-                        bad = (not np.isfinite(out.get("mpjpe", 0.0)).all()
-                               or not np.isfinite(np.asarray(
-                                   out.get("upper", {}).get("loss", 0.0))
-                               ).all())
-                        if bad:
+                        checks = [out.get("mpjpe", 0.0),
+                                  out.get("upper", {}).get("loss", 0.0),
+                                  out.get("lower", {}).get("loss", 0.0)]
+                        if any(not np.isfinite(np.asarray(c)).all()
+                               for c in checks):
                             diverged_at = i
                 if diverged_at is not None:
                     # divergence remedy, automated (reference reload():
-                    # dynaboa_webcam.py:184-195 — interactive-only there)
+                    # dynaboa_webcam.py:184-195 — interactive-only there).
+                    # Only the model/teacher/optimizer reset; the stream
+                    # position (step) and motion history survive, exactly
+                    # like the reference's reload (its self.history dict is
+                    # untouched), so checkpoints keep counting correctly.
                     self.reset_count += 1
                     print(f"---> non-finite adaptation detected at frame "
                           f"{diverged_at}; resetting model/teacher/optimizer "
                           f"(reset #{self.reset_count})")
-                    state = self.engine.init_state(
-                        reset_template, batch_size=reset_batch,
-                        img_res=reset_res)
+                    fresh = self.reset_state(reset_template,
+                                             batch_size=reset_batch,
+                                             img_res=reset_res)
+                    state = state._replace(
+                        params=fresh.params,
+                        teacher_params=fresh.teacher_params,
+                        opt_state=fresh.opt_state)
 
             def flush():
                 nonlocal state
@@ -424,14 +437,22 @@ class StreamRunner:
 
     def _record(self, i: int, out: dict, meta: dict | None = None):
         scalars = {}
+        self.frames_seen += 1
         if "mpjpe" in out:
-            self.mpjpe_all.append(float(np.mean(out["mpjpe"])))
-            self.pampjpe_all.append(float(np.mean(out["pampjpe"])))
-            self.pve_all.append(float(np.mean(out["pve"])))
+            m = float(np.mean(out["mpjpe"]))
+            pa = float(np.mean(out["pampjpe"]))
+            pv = float(np.mean(out["pve"]))
+            # non-finite frames (divergence; see auto_reset) still reach the
+            # scalar log for observability but are excluded from the running
+            # aggregates — one NaN would poison every later mean
+            if np.isfinite(m) and np.isfinite(pa) and np.isfinite(pv):
+                self.mpjpe_all.append(m)
+                self.pampjpe_all.append(pa)
+                self.pve_all.append(pv)
             scalars.update({
-                "metrics/mpjpe": self.mpjpe_all[-1],
-                "metrics/pampjpe": self.pampjpe_all[-1],
-                "metrics/pve": self.pve_all[-1],
+                "metrics/mpjpe": m,
+                "metrics/pampjpe": pa,
+                "metrics/pve": pv,
             })
         for k, v in out.get("lower", {}).items():
             scalars[f"ll/{k}"] = float(np.mean(v))
@@ -535,7 +556,7 @@ class StreamRunner:
             "mpjpe": mean(self.mpjpe_all),
             "pampjpe": mean(self.pampjpe_all),
             "pve": mean(self.pve_all),
-            "frames": len(self.mpjpe_all),
+            "frames": self.frames_seen,
             "fps": 1.0 / mean(steady) if steady else 0.0,
         }
         print("--- Final ---")
