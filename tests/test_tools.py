@@ -8,7 +8,10 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools"))
 
+import numpy as np  # noqa: E402
+
 from sweep import parse_grid  # noqa: E402
+from build_retrieval import kmeans  # noqa: E402
 
 
 class TestSweepGrid:
@@ -34,3 +37,30 @@ class TestSweepGrid:
     def test_rejects_malformed_spec(self):
         with pytest.raises(ValueError):
             parse_grid(["lr"])
+
+
+class TestRetrievalKMeans:
+    def test_recovers_separated_clusters(self):
+        """The store builder's k-means must recover well-separated clusters
+        (the shape of the reference's precomputed retrieval_res assets)."""
+        rng = np.random.default_rng(0)
+        true_centers = rng.normal(size=(4, 32)) * 5
+        feats = np.concatenate([
+            true_centers[k] + rng.normal(scale=0.05, size=(25, 32))
+            for k in range(4)
+        ]).astype(np.float32)
+        centers, assign = kmeans(feats, k=4, seed=1)
+        assert centers.shape == (4, 32)
+        # members of one true cluster share one assignment
+        for k in range(4):
+            block = assign[k * 25:(k + 1) * 25]
+            assert (block == block[0]).all()
+        # and the four blocks map to four distinct clusters
+        assert len({int(assign[k * 25]) for k in range(4)}) == 4
+
+    def test_centers_are_unit_norm(self):
+        rng = np.random.default_rng(2)
+        feats = rng.normal(size=(30, 16)).astype(np.float32)
+        centers, _ = kmeans(feats, k=3, seed=0)
+        np.testing.assert_allclose(np.linalg.norm(centers, axis=1), 1.0,
+                                   atol=1e-5)

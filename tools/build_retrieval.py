@@ -21,10 +21,19 @@ import numpy as np
 
 
 def kmeans(feats: np.ndarray, k: int, iters: int = 50, seed: int = 0):
-    """Plain numpy k-means (cosine-normalized features)."""
+    """Numpy k-means over cosine-normalized features with k-means++ seeding
+    (uniform seeding can drop a true cluster when two seeds land in one)."""
     rng = np.random.default_rng(seed)
     f = feats / np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
-    centers = f[rng.choice(len(f), size=k, replace=False)]
+    # k-means++: each next seed drawn proportional to cosine distance from
+    # the nearest already-chosen seed
+    seeds = [rng.integers(len(f))]
+    for _ in range(1, k):
+        d = np.min(1.0 - f @ f[seeds].T, axis=1)
+        d = np.maximum(d, 0.0)
+        p = d / d.sum() if d.sum() > 0 else None
+        seeds.append(int(rng.choice(len(f), p=p)))
+    centers = f[seeds].copy()
     assign = np.zeros(len(f), np.int64)
     for _ in range(iters):
         sims = f @ centers.T
