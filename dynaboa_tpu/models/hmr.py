@@ -336,15 +336,26 @@ def convert_torch_state_dict(state: dict[str, Any], scan_blocks: bool = True):
 def load_basemodel(path: str):
     """Load the reference's ``basemodel.pt`` checkpoint into (HMR, params).
 
-    The checkpoint is a torch file with a ``model`` key
-    (reference base_adaptor.py:116-125).
+    The checkpoint is a torch file with a ``model`` key holding a possibly
+    ``module.``-prefixed state dict (reference base_adaptor.py:116-125).
+    The network topology (width / blocks-per-stage / regressor dim) is
+    inferred from the state dict itself, so derivative checkpoints at
+    non-standard scale load through the same path as the real ResNet-50.
     """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model", ckpt)
+    state = {k.replace("module.", ""): v for k, v in state.items()}
     params, mean = convert_torch_state_dict(state, scan_blocks=True)
+    layers = tuple(
+        1 + max(int(k.split(".")[1]) for k in state
+                if k.startswith(f"layer{i}."))
+        for i in (1, 2, 3, 4))
     model = HMR(
+        layers=layers,
+        width=int(state["conv1.weight"].shape[0]),
+        regressor_dim=int(state["fc1.weight"].shape[0]),
         mean_pose=tuple(mean.get("pose", np.zeros(NPOSE, np.float64))),
         mean_shape=tuple(mean.get("shape", np.zeros(10, np.float64))),
         mean_cam=tuple(mean.get("cam", np.array([0.9, 0.0, 0.0]))),
