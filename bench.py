@@ -164,6 +164,59 @@ def measure_windowed(system, frames, label, W=8, n_steps=12):
     return fps
 
 
+def measure_curve(system, frames, label, caps=(0, 1, 3, 5, 7), n_frames=24):
+    """fps as a function of forced extra updates per frame.  The similarity
+    threshold AND the extra-step cap are traced scalars, so every point on
+    the curve reuses the one compiled streaming program (thr=-1 forces the
+    gate open; the cap bounds the update count — reference protocol at
+    dynaboa_benchmark.py:161-192)."""
+    engine = system.engine
+    curve = {}
+    for cap in caps:
+        state = engine.init_state(system.params)
+        state, out = engine.step(state, frames[0], cos_sim_threshold=-1.0,
+                                 extra_cap=cap)
+        float(np.asarray(out["mpjpe"]).sum())
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            state, out = engine.step(state, frames[(i + 1) % len(frames)],
+                                     cos_sim_threshold=-1.0, extra_cap=cap)
+        extra = float(np.asarray(out["optim_steps"]))
+        float(np.asarray(out["mpjpe"]).sum())
+        fps = n_frames / (time.perf_counter() - t0)
+        curve[cap] = round(fps, 2)
+        log(f"[{label}] curve: {cap} extra updates/frame "
+            f"(measured {extra:.0f}) -> {fps:.2f} fps")
+    return curve
+
+
+def measure_shardmap_1dev(system, frames, label, n_frames=24):
+    """ParallelStreams over a ONE-device mesh on the real chip: the only
+    measurable point of the scaling claim in this environment.  Done-criteria
+    (VERDICT r2 item 7): the shard_map wrapper costs ~nothing vs the bare
+    engine."""
+    from dynaboa_tpu.engine.bilevel import Frame
+    from dynaboa_tpu.parallel.streams import ParallelStreams, make_mesh
+
+    import jax.numpy as jnp
+
+    par = ParallelStreams(system.engine, make_mesh(1))
+    states = par.init_states(system.params, 1)
+    sframes = [Frame(*[jnp.asarray(x)[None] for x in f]) for f in frames]
+    t0 = time.perf_counter()
+    states, out = par.step(states, sframes[0])
+    float(np.asarray(out["mpjpe"]).sum())
+    log(f"[{label}] shard_map(1 dev) compile+first: "
+        f"{time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        states, out = par.step(states, sframes[(i + 1) % len(sframes)])
+    float(np.asarray(out["mpjpe"]).sum())
+    fps = n_frames / (time.perf_counter() - t0)
+    log(f"[{label}] shard_map(1 dev): {n_frames} frames -> {fps:.2f} fps")
+    return fps
+
+
 def measure_runner(system, label, n_frames=96):
     """Product-path throughput: the StreamRunner (deferred recording, packed
     fetches, per-frame preprocessing + JSONL logging) over a synthetic
@@ -229,8 +282,10 @@ def main():
     fps32_stream, _, _ = measure_streaming(sys32, frames, n_frames, "fp32") \
         if use_bf16 else (fps_stream, extra, None)
 
+    curve = measure_curve(flag_sys, frames, flag_label)
     fps_chunk = measure_chunked(flag_sys, frames, flag_label)
     fps_windowed = measure_windowed(flag_sys, frames, flag_label)
+    fps_shardmap = measure_shardmap_1dev(flag_sys, frames, flag_label)
     fps_runner = measure_runner(flag_sys, flag_label)
 
     fps = max(fps_stream, fps_chunk)
@@ -245,7 +300,9 @@ def main():
         "chunk_size": CHUNK,
         "worst_case_streaming_fps": round(wc_fps, 3),
         "worst_case_extra_steps": round(wc_extra, 2),
+        "fps_vs_extra_steps": {str(k): v for k, v in curve.items()},
         "windowed8_aggregate_fps": round(fps_windowed, 3),
+        "shardmap_1dev_fps": round(fps_shardmap, 3),
         "runner_steady_fps": round(fps_runner, 3),
         "fp32_streaming_fps": round(fps32_stream, 3),
         "bf16_single_step_mpjpe_rel": round(prec_rel, 5),

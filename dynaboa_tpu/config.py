@@ -54,6 +54,11 @@ class AdaptConfig:
     dynamic_boa: bool = True
     cos_sim_threshold: float = 3.1e-4
     optim_steps: int = 7
+    # per-extra-step metric records (the reference runs a log-only inference
+    # after every dynamic update, dynaboa_benchmark.py:158-191); the sim and
+    # loss trajectories are always recorded — this gates only the per-step
+    # MPJPE/PA-MPJPE/PVE evaluation
+    record_dynamic: bool = True
 
     # mean teacher
     use_meanteacher: bool = True

@@ -113,20 +113,29 @@ class BilevelEngine:
         self._jit_step = jax.jit(self._step, donate_argnums=(0,))
         self.predict = jax.jit(self._predict)
         self._jit_chunk = jax.jit(self._run_chunk, donate_argnums=(0,))
+        self._record_dynamic = cfg.record_dynamic and compute_metrics
 
     def step(self, state: AdaptState, frame: Frame,
-             cos_sim_threshold=None):
+             cos_sim_threshold=None, extra_cap=None):
+        """``cos_sim_threshold`` and ``extra_cap`` (max extra updates beyond
+        the mandatory first) are TRACED scalars: threshold sweeps, the
+        worst-case benchmark (thr=-1) and the fps-vs-extra-steps curve all
+        reuse ONE compiled program."""
         thr = self._thr if cos_sim_threshold is None else jnp.float32(
             cos_sim_threshold)
-        return self._jit_step(state, frame, thr)
+        cap = (jnp.int32(self.cfg.optim_steps) if extra_cap is None
+               else jnp.int32(extra_cap))
+        return self._jit_step(state, frame, thr, cap)
 
     def run_chunk(self, state: AdaptState, frames: Frame,
-                  cos_sim_threshold=None):
+                  cos_sim_threshold=None, extra_cap=None):
         thr = self._thr if cos_sim_threshold is None else jnp.float32(
             cos_sim_threshold)
-        return self._jit_chunk(state, frames, thr)
+        cap = (jnp.int32(self.cfg.optim_steps) if extra_cap is None
+               else jnp.int32(extra_cap))
+        return self._jit_chunk(state, frames, thr, cap)
 
-    def _run_chunk(self, state: AdaptState, frames: Frame, thr):
+    def _run_chunk(self, state: AdaptState, frames: Frame, thr, cap):
         """Adapt over a chunk of frames with ``lax.scan`` — one dispatch for
         N frames (offline benchmark mode; SURVEY §5 'keep the adapt-then-
         predict step fully resident').
@@ -137,7 +146,7 @@ class BilevelEngine:
           (final state, per-frame stacked outputs).
         """
         return jax.lax.scan(
-            lambda st, fr: self._step(st, fr, thr), state, frames)
+            lambda st, fr: self._step(st, fr, thr, cap), state, frames)
 
     # -- model wrappers ----------------------------------------------------
 
@@ -167,9 +176,42 @@ class BilevelEngine:
         conf = j2d[:, 25:, 2:3]
         return (((s2d[:, 25:] - j2d[:, 25:, :2]) ** 2) * conf).mean()
 
-    def _level_loss(self, params, frame: Frame, state: AdaptState,
-                    bank, level: str, teacher_params=None):
-        """Shared lower/upper loss builder
+    def _teacher_active(self, level: str) -> bool:
+        use_temporal = (self.cfg.use_temporal_losses_lower if level == "lower"
+                        else self.cfg.use_temporal_losses_upper)
+        return use_temporal and self.cfg.use_meanteacher
+
+    def _teacher_outs(self, teacher_params, frame: Frame):
+        """Mean-teacher forward on the current frame — the distillation
+        targets.  Constants w.r.t. the student (the reference detaches the
+        teacher, base_adaptor.py:320-343)."""
+        t_rotmat, t_shape, t_cam, _ = self._forward(
+            teacher_params, frame.image)
+        t_s3d, _ = self._decode(t_rotmat, t_shape)
+        t_s2d = project_to_crop(t_cam, t_s3d)["normed"]
+        return (t_rotmat, t_shape, t_s2d, t_s3d)
+
+    def _teacher_term(self, touts, t_out):
+        """Weighted distillation term + its gradient w.r.t. the STUDENT
+        outputs (rotmat, shape, s2d, s3d).  Only the tiny loss arithmetic is
+        differentiated here; the caller composes these cotangents with a
+        saved network VJP instead of re-running the backbone backward."""
+
+        def term(ts):
+            tl, tparts = teacher_loss(*ts, *t_out)
+            return tl * self.cfg.teacherloss_weight, (tl, tparts)
+
+        (tlw, (tl, tparts)), d = jax.value_and_grad(
+            term, has_aux=True)(touts)
+        aux = {"teacherloss": tl}
+        # reference logs the distillation sub-terms under teacher/*
+        # (base_adaptor.py:338-343); the runner re-prefixes these
+        aux.update({f"teacher_{k}": v for k, v in tparts.items()})
+        return tlw, d, aux
+
+    def _partial_level(self, params, frame: Frame, state: AdaptState,
+                       bank, level: str):
+        """Shared lower/upper loss builder, EXCLUDING the teacher term
         (reference base_adaptor.py:222-268 / 271-317).
 
         TPU-first batching: the current frame, the motion-history frame and
@@ -179,13 +221,14 @@ class BilevelEngine:
         feature snapshot, so the batched forward has no data dependence on
         its own output.
 
-        ``teacher_params``: the mean-teacher weights the distillation loss
-        targets.  The dynamic extra-step loop EMA-updates the teacher after
-        every Adam step and the NEXT step's teacher loss must see that update
-        (reference base_adaptor.py:320-343 uses self.teacher, updated at
-        dynaboa_benchmark.py:176-187) — so the while-loop body passes its
-        carried teacher here.  Defaults to the frame-initial teacher, which
-        is correct for the lower level and for update 0.
+        The teacher term is split out (``_teacher_outs``/``_teacher_term``)
+        because the dynamic loop saves this function's VJP and decides only
+        AFTER seeing the convergence signal whether the backward pass — and
+        hence the teacher forward — is needed at all.
+
+        Returns ``((loss, touts), (frame_out, aux))`` where ``touts`` are the
+        frame-row outputs the distillation consumes and ``frame_out`` carries
+        the frame-row predictions + the 15 feature taps.
         """
         cfg = self.cfg
         use_frame = (cfg.use_frame_losses_lower if level == "lower"
@@ -208,7 +251,7 @@ class BilevelEngine:
         x = jnp.concatenate(imgs, axis=0) if len(imgs) > 1 else imgs[0]
 
         rotmat, shape, cam, feats_all = self._forward(params, x)
-        s3d, _ = self._decode(rotmat, shape)
+        s3d, verts = self._decode(rotmat, shape)
         s2d = project_to_crop(cam, s3d)["normed"]
 
         fr = slice(0, B)
@@ -241,21 +284,6 @@ class BilevelEngine:
                 aux.update(parts)
             aux["unlabelloss"] = loss
 
-        if use_temporal and cfg.use_meanteacher:
-            if teacher_params is None:
-                teacher_params = state.teacher_params
-            t_rotmat, t_shape, t_cam, _ = self._forward(
-                teacher_params, frame.image)
-            t_s3d, _ = self._decode(t_rotmat, t_shape)
-            t_s2d = project_to_crop(t_cam, t_s3d)["normed"]
-            tl, tparts = teacher_loss(rotmat[fr], shape[fr], s2d[fr], s3d[fr],
-                                      t_rotmat, t_shape, t_s2d, t_s3d)
-            loss = loss + tl * cfg.teacherloss_weight
-            aux["teacherloss"] = tl
-            # reference logs the distillation sub-terms under teacher/*
-            # (base_adaptor.py:338-343); the runner re-prefixes these
-            aux.update({f"teacher_{k}": v for k, v in tparts.items()})
-
         if use_motion:
             # webcam path computes motion over the OpenPose joint half
             # (reference dynaboa_webcam.py:277 uses [:, :25]); benchmark /
@@ -281,7 +309,34 @@ class BilevelEngine:
             aux["labledloss"] = ll
             aux.update(lparts)   # ll/ul labled_* sub-terms (base_adaptor:371-375)
 
-        return loss, (feats, aux)
+        touts = (rotmat[fr], shape[fr], s2d[fr], s3d[fr])
+        frame_out = dict(rotmat=rotmat[fr], shape=shape[fr], cam=cam[fr],
+                         s3d=s3d[fr], verts=verts[fr], s2d=s2d[fr],
+                         feats=feats)
+        return (loss, touts), (frame_out, aux)
+
+    def _level_loss(self, params, frame: Frame, state: AdaptState,
+                    bank, level: str, teacher_params=None):
+        """Full loss at one level: partial terms + teacher distillation
+        (reference base_adaptor.py:222-317).  Used by the inner (lower) step
+        and the plain single-level path; the dynamic upper loop uses the
+        split form directly so it can skip the backward pass after the
+        similarity gate closes.
+
+        ``teacher_params`` defaults to the frame-initial teacher, which is
+        correct for the lower level and for update 0.
+        """
+        (loss, touts), (frame_out, aux) = self._partial_level(
+            params, frame, state, bank, level)
+        if self._teacher_active(level):
+            t_out = self._teacher_outs(
+                state.teacher_params if teacher_params is None
+                else teacher_params, frame)
+            tl, tparts = teacher_loss(*touts, *t_out)
+            loss = loss + tl * self.cfg.teacherloss_weight
+            aux["teacherloss"] = tl
+            aux.update({f"teacher_{k}": v for k, v in tparts.items()})
+        return loss, (frame_out["feats"], aux)
 
     def _retrieve(self, feat5, rng):
         """Exemplar draw keyed on the given 2048-d feature snapshot
@@ -315,18 +370,20 @@ class BilevelEngine:
 
     # -- the per-frame program ----------------------------------------------
 
-    def _step(self, state: AdaptState, frame: Frame, cos_sim_threshold=None):
+    def _step(self, state: AdaptState, frame: Frame, cos_sim_threshold=None,
+              extra_cap=None):
         cfg = self.cfg
         thr = (jnp.float32(cfg.cos_sim_threshold)
                if cos_sim_threshold is None else cos_sim_threshold)
+        cap = (jnp.int32(cfg.optim_steps) if extra_cap is None
+               else extra_cap)
         rng = state.rng
         outputs: dict[str, Any] = {}
 
         if cfg.use_boa:
             # 1. pre-adaptation features (no grad; reference
             # dynaboa_benchmark.py:132-133)
-            rotmat0, shape0, cam0, init_feats = self._forward(
-                state.params, frame.image)
+            _, _, _, init_feats = self._forward(state.params, frame.image)
 
             # 2. inner step(s) on the virtual clone.  Retrieval for inner
             # step 0 keys off init_feats[5] — identical to the reference,
@@ -352,85 +409,141 @@ class BilevelEngine:
                     outputs[f"lower_{i}_pampjpe"] = m["pampjpe"]
             outputs["lower"] = lower_aux
 
-            # 3 + 4. outer updates, all inside ONE while_loop.  Iteration 0
-            # is the mandatory update whose gradient is evaluated at the
-            # inner-adapted params (the clone); iterations 1..optim_steps are
-            # the dynamic extra steps (gradient at the real params), gated by
-            # the tap-12 cosine similarity between *consecutive parameter
-            # snapshots* — exactly the reference pairing, since the loss
-            # forward of iteration n runs at the post-update params of
-            # iteration n-1 (dynaboa_benchmark.py:147-192).  Folding the
-            # first update into the loop body halves the number of
-            # backbone-gradient instances XLA has to compile.  Retrieval in
-            # iteration n keys off the features of params_n (the carried
-            # post-update snapshot of iteration n-1), matching the
-            # reference's own-forward features for n >= 1 and one inner-step
-            # stale for n == 0 (documented divergence: feature deltas per
-            # update are ~cos_sim_threshold, far below cluster separation).
+            # 3 + 4. outer updates, all inside ONE while_loop, with the
+            # gradient PIPELINED across iterations: body n applies update n
+            # using the carried gradient, then runs ONE batched loss forward
+            # at the just-updated params.  That forward is simultaneously
+            #   (a) the convergence signal — tap-12 cosine between
+            #       consecutive post-update snapshots, the exact reference
+            #       pairing (dynaboa_benchmark.py:161-192),
+            #   (b) the per-extra-step metric/sim record (reference
+            #       dynaboa_benchmark.py:158-191 runs an inference per step),
+            #   (c) the final prediction when the loop exits here, and
+            #   (d) the saved-VJP forward for update n+1's gradient.
+            # The backward pass (and the teacher forward it needs) runs under
+            # ``lax.cond`` only when the gate says iteration n+1 happens, so
+            # a converged frame pays one forward, not a forward+backward.
+            # This removes the reference's separate post-update forward
+            # (dynaboa_benchmark.py:163-166) from the per-update cost
+            # entirely.
+            #
+            # Retrieval in iteration n keys off the features of the PREVIOUS
+            # snapshot (params_{n-1}; the exemplar rows are inputs to the
+            # forward that produces params_n's features, so keying off the
+            # own-forward features, as the reference does for n >= 1, is
+            # circular under pipelining).  Documented divergence, same class
+            # as the inner-step staleness at n == 0: feature deltas per
+            # update are ~cos_sim_threshold, orders of magnitude below
+            # cluster separation (tests/test_reference_parity.py
+            # TestRetrievalStaleness + retrieval-ON composed parity).
             max_updates = 1 + (cfg.optim_steps if cfg.dynamic_boa else 0)
+            teacher_on = self._teacher_active("upper")
+            rec_on = self._record_dynamic
+            B = frame.image.shape[0]
+
+            def upper_vjp(params, bank):
+                return jax.vjp(
+                    lambda p: self._partial_level(
+                        p, frame, state, bank, "upper"),
+                    params, has_aux=True)
+
+            def compose_grads(primals, vjp_fn, teacher_params):
+                """Total upper gradient: partial-loss pullback with the
+                teacher term composed in via output cotangents."""
+                lp, touts = primals
+                if teacher_on:
+                    t_out = self._teacher_outs(teacher_params, frame)
+                    tlw, d, t_aux = self._teacher_term(touts, t_out)
+                    (grads,) = vjp_fn((jnp.ones(()), d))
+                    return grads, lp + tlw, t_aux
+                zero_d = jax.tree.map(jnp.zeros_like, touts)
+                (grads,) = vjp_fn((jnp.ones(()), zero_d))
+                return grads, lp, {}
+
+            # iteration 0: gradient at the inner-adapted params (the clone),
+            # retrieval keyed off the pre-inner features (reference
+            # base_adaptor.py:261-262 via the clone's forward; staleness
+            # documented above)
+            rng, r = jax.random.split(rng)
+            bank0 = self._retrieve(init_feats[5][0], r)
+            primals0, vjp0, (fo0, aux0) = upper_vjp(learner, bank0)
+            grads0, loss0, t_aux0 = compose_grads(
+                primals0, vjp0, state.teacher_params)
+            aux0 = dict(aux0)
+            aux0.update(t_aux0)
+            aux0["loss"] = loss0
+            outputs["upper"] = aux0
+
+            sims_init = jnp.zeros((max_updates,), jnp.float32)
+            losses_init = jnp.zeros((max_updates,), jnp.float32)
+            recs_init = (
+                tuple(jnp.zeros((max_updates, B), jnp.float32)
+                      for _ in range(3))
+                if rec_on else tuple(jnp.zeros((0,), jnp.float32)
+                                     for _ in range(3)))
 
             def cond(carry):
-                _, _, _, _, _, sim, n, _ = carry
-                return jnp.logical_and(
-                    n < max_updates,
-                    jnp.logical_or(n == 0, (1.0 - sim) > thr),
-                )
+                return carry[9]     # cont
 
             def body(carry):
-                (params, opt_state, teacher, rng, pred_c, sim, n,
-                 first) = carry
-                rng, r = jax.random.split(rng)
-                eval_params = jax.lax.cond(
-                    n == 0, lambda: learner, lambda: params)
-                bank = self._retrieve(pred_c[3][5][0], r)
-                # the carried `teacher` (EMA'd after the previous update) is
-                # the distillation target — reference base_adaptor.py:320-343
-                # reads self.teacher, which dynaboa_benchmark.py:176-187
-                # updates after every optimizer step
-                (ul, (_, aux)), g = jax.value_and_grad(
-                    self._level_loss, has_aux=True
-                )(eval_params, frame, state, bank, "upper", teacher)
-                aux["loss"] = ul
-                params, opt_state = self._outer_update(g, params, opt_state)
+                (params, opt_state, teacher, rng, fo, tap_prev, grads,
+                 loss_n, n, _cont, sims, losses, recs) = carry
+                # apply update n; EMA after every optimizer step
+                # (reference dynaboa_benchmark.py:149-154 / 176-181)
+                params, opt_state = self._outer_update(
+                    grads, params, opt_state)
                 if cfg.use_meanteacher:
                     teacher = self._ema_teacher(teacher, params)
-                # post-update forward: yields the convergence signal (tap 12)
-                # AND the model outputs at the updated params, so the final
-                # prediction after the loop reuses this forward instead of
-                # running the backbone again (reference fwd at
-                # dynaboa_benchmark.py:163-166 + inference fwd at :189 — here
-                # they are one).
-                rotmat_p, shape_p, cam_p, feats_post = self._forward(
-                    params, frame.image)
+                losses = losses.at[n].set(loss_n)
+
+                # trailing forward at the just-updated params
+                rng, r = jax.random.split(rng)
+                bank = self._retrieve(fo["feats"][5][0], r)
+                primals, vjp_fn, (fo_new, _aux) = upper_vjp(params, bank)
                 sim = feature_cosine_similarities(
-                    (pred_c[3][12],), (feats_post[12],))[0]
-                first = jax.tree.map(
-                    lambda a, b: jnp.where(n == 0, a, b), aux, first)
-                return (params, opt_state, teacher, rng,
-                        (rotmat_p, shape_p, cam_p, feats_post),
-                        sim, n + 1, first)
+                    (tap_prev,), (fo_new["feats"][12],))[0]
+                sims = sims.at[n].set(sim)
+                if rec_on:
+                    m = self._metrics(fo_new["verts"], frame)
+                    recs = (recs[0].at[n].set(m["mpjpe"]),
+                            recs[1].at[n].set(m["pampjpe"]),
+                            recs[2].at[n].set(m["pve"]))
 
-            # aux-log structure template (zeros; filled by iteration 0).
-            # eval_shape traces without compiling, so this adds no HLO.
-            bank_t = self._retrieve(prev5, rng)
-            aux_shapes = jax.eval_shape(
-                lambda p: self._level_loss(
-                    p, frame, state, bank_t, "upper")[1][1],
-                learner)
-            aux_t = jax.tree.map(
-                lambda sh: jnp.zeros(sh.shape, sh.dtype), aux_shapes)
-            aux_t["loss"] = jnp.zeros(())
+                cont = jnp.logical_and(
+                    jnp.logical_and(n + 1 < max_updates, n + 1 <= cap),
+                    (1.0 - sim) > thr)
 
-            (params, opt_state, teacher, rng, pred_f, sim12, nupd,
-             upper_aux) = jax.lax.while_loop(
+                def with_bwd():
+                    g, l, _t = compose_grads(primals, vjp_fn, teacher)
+                    return g, l
+
+                def no_bwd():
+                    return (jax.tree.map(jnp.zeros_like, params),
+                            jnp.zeros((), jnp.float32))
+
+                grads, loss_n = jax.lax.cond(cont, with_bwd, no_bwd)
+                return (params, opt_state, teacher, rng, fo_new,
+                        fo_new["feats"][12], grads, loss_n, n + 1, cont,
+                        sims, losses, recs)
+
+            (params, opt_state, teacher, rng, fo, _tap, _g, _l, nupd,
+             _cont, sims, losses, recs) = jax.lax.while_loop(
                 cond, body,
                 (state.params, state.opt_state, state.teacher_params,
-                 rng, (rotmat0, shape0, cam0, init_feats),
-                 jnp.zeros(()), jnp.zeros((), jnp.int32), aux_t),
+                 rng, fo0, init_feats[12], grads0, loss0,
+                 jnp.zeros((), jnp.int32), jnp.asarray(True),
+                 sims_init, losses_init, recs_init),
             )
-            outputs["upper"] = upper_aux
             outputs["optim_steps"] = nupd - 1      # extra steps beyond the 1st
-            outputs["feat_sim_final"] = sim12
+            outputs["feat_sim_final"] = sims[nupd - 1]
+            # per-update trajectories (reference dynaboa_benchmark.py:158-191
+            # feat_sims / step statistics); entries beyond optim_steps are 0
+            outputs["per_step_sims"] = sims
+            outputs["per_step_loss"] = losses
+            if rec_on:
+                outputs["per_step_mpjpe"] = recs[0]
+                outputs["per_step_pampjpe"] = recs[1]
+                outputs["per_step_pve"] = recs[2]
         else:
             # plain single-level online adaptation (reference
             # dynaboa_benchmark.py:194-201)
@@ -448,18 +561,14 @@ class BilevelEngine:
                        if cfg.use_meanteacher else state.teacher_params)
 
         # 5. final inference + metrics at the adapted weights.  Under BOA the
-        # while-loop's last post-update forward already ran the backbone at
-        # the final params, so only the SMPL decode + projection remain here.
+        # while-loop's last trailing forward already ran the backbone AND the
+        # SMPL decode at the final params — the prediction is free here.
         if cfg.use_boa:
-            rotmat_f, shape_f, cam_f, feats_f = pred_f
-            s3d_f, verts_f = self._decode(rotmat_f, shape_f, no_grad=True)
-            pred = dict(rotmat=rotmat_f, shape=shape_f, cam=cam_f,
-                        s3d=s3d_f, verts=verts_f,
-                        s2d=project_to_crop(cam_f, s3d_f)["normed"],
-                        feats=feats_f)
+            pred = fo
             # observability: per-tap similarity between the pre-adaptation
             # and final features (the reference logs per-update-step sims,
-            # base_adaptor.py:211-219; here one fused vector per frame)
+            # base_adaptor.py:211-219; the per-step tap-12 trajectory is in
+            # outputs["per_step_sims"])
             outputs["feat_sim"] = feature_cosine_similarities(
                 init_feats, pred["feats"])
         else:

@@ -76,44 +76,61 @@ def split_window_out(out: dict, W: int) -> list[dict]:
     """Split a batched-window step output into W per-frame records.
 
     Per-frame quantities (metrics, predictions, per-inner-step records)
-    slice along the batch axis; window-level quantities (loss aux,
-    optim_steps, feat sims — one bilevel update per window) are shared by
-    every frame of the window."""
+    slice along the batch axis; per-update trajectories (per_step_mpjpe etc.,
+    shaped (optim_steps+1, B)) slice along their second axis; window-level
+    quantities (loss aux, optim_steps, feat sims — one bilevel update per
+    window) are shared by every frame of the window."""
     res = []
     for j in range(W):
         o = {}
         for k, v in out.items():
             if k in _PER_FRAME_KEYS or k.startswith("lower_"):
                 o[k] = v[j:j + 1]
+            elif k in ("per_step_mpjpe", "per_step_pampjpe", "per_step_pve"):
+                o[k] = v[:, j:j + 1]
             else:
                 o[k] = v
         res.append(o)
     return res
 
 
-def materialize_outputs(outs: list) -> list:
-    """Bring a window of on-device step-output trees to the host in O(1)
-    round trips.
+def pack_outputs_async(outs: list):
+    """Pack a window of on-device step-output trees into two flat device
+    buffers (ONE jitted program) and start their device->host copies.
 
     Fetching trees leaf-by-leaf costs one host round trip per buffer —
     ~40 leaves/frame x a 16-frame window took 17 s on the tunneled-TPU
-    setup (docs/PERF.md) while the same data packs into two flat buffers
-    fetched in two trips.  The packing itself must be ONE jitted program:
-    issuing it as ~100 eager ops triggers a (slow, remote) compile per op
-    on this platform.
+    setup (docs/PERF.md) while the same data packs into two flat buffers.
+    ``copy_to_host_async`` overlaps even those two transfers with subsequent
+    dispatches, so draining a window one flush later costs ~no blocking
+    round trip at all (the r2 runner blocked ~2 RTTs per window here —
+    ~4 ms/frame of its 30% host-overhead gap).
+
+    Returns an opaque handle for :func:`unpack_outputs`.
     """
     global _pack_outputs_jit
-    import jax.numpy as jnp
-
     if _pack_outputs_jit is None:
         _pack_outputs_jit = jax.jit(_pack_outputs)
     flat_f, flat_i = _pack_outputs_jit(outs)
-    host_f = np.asarray(flat_f)                        # one round trip
-    host_i = np.asarray(flat_i)                        # one small trip
+    for buf in (flat_f, flat_i):
+        try:
+            buf.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+    return (flat_f, flat_i, outs[0], len(outs))
+
+
+def unpack_outputs(handle) -> list:
+    """Complete a :func:`pack_outputs_async` fetch and rebuild the per-frame
+    host trees.  The value fetch forces completion of the device chain up to
+    the newest frame in the window (honest timing boundary — see
+    docs/PERF.md on block_until_ready)."""
+    flat_f, flat_i, sample0, W = handle
+    host_f = np.asarray(flat_f)
+    host_i = np.asarray(flat_i)
 
     # unpack on host following the same leaf order as _pack_outputs
-    sample_leaves, treedef = jax.tree.flatten(outs[0])
-    W = len(outs)
+    sample_leaves, treedef = jax.tree.flatten(sample0)
     host: list[np.ndarray] = []
     off_f = off_i = 0
     for sample in sample_leaves:
@@ -127,6 +144,11 @@ def materialize_outputs(outs: list) -> list:
             off_i += n
     stacked_np = jax.tree.unflatten(treedef, host)
     return [jax.tree.map(lambda a, j=j: a[j], stacked_np) for j in range(W)]
+
+
+def materialize_outputs(outs: list) -> list:
+    """Synchronous pack + fetch (tests and one-shot callers)."""
+    return unpack_outputs(pack_outputs_async(outs))
 
 
 def frame_from_item(item: dict, keypoint_source: str = "gt") -> Frame:
@@ -226,6 +248,11 @@ class StreamRunner:
         self.kp2d_lower: list[float] = []
         self.kp2d_upper: dict[int, float] = {}
         self.feat_sims: dict[int, list[float]] = {}
+        # per-update trajectories (reference dynaboa_benchmark.py:158-191
+        # records sims + metrics after EVERY dynamic update)
+        self.step_sims: dict[int, np.ndarray] = {}
+        self.step_losses: dict[int, np.ndarray] = {}
+        self.step_stats: dict[int, tuple] = {}
         self.optim_step_record: list[int] = []
         self.step_times: list[float] = []
         self.reset_count: int = 0
@@ -267,8 +294,9 @@ class StreamRunner:
         materialized frame's loss or metrics go non-finite, the adaptation
         state resets to the initial weights (the reference only offers this
         as the webcam path's interactive 'r' key, dynaboa_webcam.py:184-195).
-        Detection lags by up to ``defer_window`` frames (the recording is
-        deferred); the reset applies from the next flush."""
+        Detection lags by up to 2x ``defer_window`` frames (recording is
+        deferred one window and fetched one window behind); the reset
+        applies from the next flush."""
         reset_template = None
         if auto_reset:
             # host snapshot of the INITIAL weights, taken before any resume
@@ -291,34 +319,33 @@ class StreamRunner:
             jax.profiler.start_trace(self.profile_dir)
         try:
             pending: list[tuple[int, "Frame", dict]] = []
-            # Outputs are recorded DEFERRED: the adaptation chain stays on
-            # device and python never blocks per frame — a host fetch per
-            # frame costs a full dispatch round trip (docs/PERF.md: 67 fps
-            # async vs ~13 fps host-synced on tunneled TPUs).  Device
-            # outputs queue here and materialize in batches.
+            # Outputs are recorded DEFERRED and PIPELINED: the adaptation
+            # chain stays on device and python never blocks per frame — a
+            # host fetch per frame costs a full dispatch round trip
+            # (docs/PERF.md: 67 fps async vs ~13 fps host-synced on tunneled
+            # TPUs).  Device outputs queue in ``deferred``; a full window is
+            # packed into two flat buffers whose device->host copies start
+            # immediately (``pack_outputs_async``) and are consumed one
+            # window LATER, so even the two per-window fetch round trips
+            # overlap with subsequent dispatches.
             deferred: list[tuple[int, Any, dict]] = []
+            inflight: list[tuple[Any, list, int]] = []
             win_t0 = time.perf_counter()
 
-            def materialize():
-                # Fetching the queued outputs forces completion of the whole
-                # on-device chain up to the newest frame, so wall time since
-                # the previous materialization divided by the frame count is
-                # the honest per-frame cost (fetch itself cannot misreport —
-                # see docs/PERF.md on block_until_ready).
+            def drain_one():
+                # Completing the fetch forces completion of the whole
+                # on-device chain up to the newest frame of that window, so
+                # wall time since the previous drain divided by the frame
+                # count is the honest per-frame cost (a value fetch cannot
+                # misreport readiness — see docs/PERF.md).
                 nonlocal win_t0, state
-                if not deferred:
-                    return
-                outs_np = materialize_outputs([out for _, out, _ in deferred])
-                n_frames = sum(
-                    len(m) if isinstance(m, list) else 1
-                    for _, _, m in deferred)
+                handle, idx_meta, n_frames = inflight.pop(0)
+                outs_np = unpack_outputs(handle)
                 if not self._first_batch_frames:
                     # remember how many frames share the compile-tainted dt
                     self._first_batch_frames = n_frames
                 dt = (time.perf_counter() - win_t0) / max(1, n_frames)
                 win_t0 = time.perf_counter()
-                idx_meta = [(i, meta) for i, _, meta in deferred]
-                deferred.clear()
                 diverged_at = None
                 for (i, meta), out in zip(idx_meta, outs_np):
                     if isinstance(meta, list):   # batched window: B = W
@@ -343,6 +370,7 @@ class StreamRunner:
                     # position (step) and motion history survive, exactly
                     # like the reference's reload (its self.history dict is
                     # untouched), so checkpoints keep counting correctly.
+                    # Detection lags by up to 2 windows (deferred + in-flight).
                     self.reset_count += 1
                     print(f"---> non-finite adaptation detected at frame "
                           f"{diverged_at}; resetting model/teacher/optimizer "
@@ -354,6 +382,22 @@ class StreamRunner:
                         params=fresh.params,
                         teacher_params=fresh.teacher_params,
                         opt_state=fresh.opt_state)
+
+            def seal_window():
+                if not deferred:
+                    return
+                handle = pack_outputs_async([out for _, out, _ in deferred])
+                idx_meta = [(i, meta) for i, _, meta in deferred]
+                n_frames = sum(
+                    len(m) if isinstance(m, list) else 1
+                    for _, _, m in deferred)
+                inflight.append((handle, idx_meta, n_frames))
+                deferred.clear()
+
+            def materialize():
+                seal_window()
+                while inflight:
+                    drain_one()
 
             def flush():
                 nonlocal state
@@ -383,7 +427,9 @@ class StreamRunner:
                     len(m) if isinstance(m, list) else 1
                     for _, _, m in deferred)
                 if n_deferred_frames >= self.defer_window:
-                    materialize()
+                    seal_window()
+                    while len(inflight) > 1:
+                        drain_one()
 
             win_items: list[tuple[int, dict]] = []
             # state.step counts engine steps = windows; frames = step * W
@@ -483,6 +529,15 @@ class StreamRunner:
             self.feat_sims[i] = sims.tolist()
             scalars["feat_sim/cos_sim"] = float(sims.mean())
             scalars["feat_sim/tap12"] = float(sims[12])
+        if "per_step_sims" in out:
+            nupd = int(out["optim_steps"]) + 1
+            self.step_sims[i] = np.asarray(out["per_step_sims"])[:nupd]
+            self.step_losses[i] = np.asarray(out["per_step_loss"])[:nupd]
+            if "per_step_mpjpe" in out:
+                self.step_stats[i] = tuple(
+                    np.asarray(out[k])[:nupd].mean(-1)
+                    for k in ("per_step_mpjpe", "per_step_pampjpe",
+                              "per_step_pve"))
         self.writer.write(i, scalars)
 
         if self.save_predictions:
@@ -540,9 +595,24 @@ class StreamRunner:
         save_obj(osp.join(self.exppath, "mesh", f"Pred_{i}.obj"), verts,
                  self.faces)
 
+    @staticmethod
+    def _padded_trajectories(traj: dict[int, np.ndarray], prefix: str):
+        """Pack ragged per-frame update trajectories into one NaN-padded
+        (frames, max_updates) matrix + per-frame counts."""
+        if not traj:
+            return {}
+        keys = list(traj.keys())
+        counts = np.array([len(traj[i]) for i in keys], np.int32)
+        mat = np.full((len(keys), int(counts.max())), np.nan, np.float32)
+        for r, i in enumerate(keys):
+            mat[r, : counts[r]] = traj[i]
+        return {f"{prefix}_steps": np.asarray(keys),
+                f"{prefix}": mat, f"{prefix}_counts": counts}
+
     def finalize(self, n_total: int) -> dict:
         """Artifact-dump parity with reference dynaboa_benchmark.py:105-123."""
         ex = self.exppath
+        self.writer.flush()
         mean = lambda v: float(np.mean(v)) if len(v) else float("nan")
         # the FIRST materialization batch absorbs XLA compilation (all of its
         # frames share one compile-tainted dt, and it can exceed
@@ -579,7 +649,21 @@ class StreamRunner:
         if self.feat_sims:
             np.savez(osp.join(ex, "feat_sims.npz"),
                      steps=list(self.feat_sims.keys()),
-                     sims=np.asarray(list(self.feat_sims.values())))
+                     sims=np.asarray(list(self.feat_sims.values())),
+                     **self._padded_trajectories(self.step_sims, "per_step"))
+        if self.step_stats:
+            # steps_statistic_res parity (reference dynaboa_benchmark.py:
+            # 111-123,158-191): MPJPE/PA-MPJPE/PVE after EVERY dynamic update
+            stats = {i: v[0] for i, v in self.step_stats.items()}
+            np.savez(
+                osp.join(ex, "steps_statistic_res.npz"),
+                **self._padded_trajectories(stats, "mpjpe"),
+                **self._padded_trajectories(
+                    {i: v[1] for i, v in self.step_stats.items()}, "pampjpe"),
+                **self._padded_trajectories(
+                    {i: v[2] for i, v in self.step_stats.items()}, "pve"),
+                **self._padded_trajectories(self.step_losses, "upper_loss"),
+            )
         np.savez(osp.join(ex, "optim_step_record.npz"),
                  step=self.optim_step_record)
         with open(osp.join(ex, "res.txt"), "w") as f:

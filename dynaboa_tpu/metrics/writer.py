@@ -18,7 +18,9 @@ class ScalarWriter:
     def __init__(self, logdir: str, filename: str = "scalars.jsonl"):
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, filename)
-        self._f = open(self.path, "a", buffering=1)
+        # block-buffered: per-frame line flushes measurably tax the hot
+        # recording loop; buffered lines land on close() or every ~8 KiB
+        self._f = open(self.path, "a")
         self._t0 = time.time()
 
     def write(self, step: int, scalars: dict) -> None:
@@ -29,6 +31,9 @@ class ScalarWriter:
             except (TypeError, ValueError):
                 continue
         self._f.write(json.dumps(rec) + "\n")
+
+    def flush(self):
+        self._f.flush()
 
     def close(self):
         self._f.close()

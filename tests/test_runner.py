@@ -186,6 +186,42 @@ class TestRunner:
         _, summary = runner.run(stream, state, window_size=2)
         assert summary["frames"] == 4          # 5th frame dropped
 
+    def test_per_step_trajectory_records(self, tmp_path):
+        """The reference records sims + metrics after EVERY dynamic update
+        (dynaboa_benchmark.py:158-191); the runner's artifacts must carry the
+        per-update trajectories, with lengths equal to each frame's recorded
+        update count."""
+        cfg = AdaptConfig(dynamic_boa=True, optim_steps=2,
+                          use_meanteacher=False, use_motion=False,
+                          retrieval=False, lower_level_mixtrain=False,
+                          upper_level_mixtrain=False,
+                          record_lowerlevel=False)
+        model = HMR(layers=(1, 1, 1, 1), width=WIDTH, regressor_dim=128)
+        params = init_hmr_params(model, jax.random.PRNGKey(0),
+                                 input_shape=(1, IMG, IMG, 3))
+        eng = BilevelEngine(cfg, model, synthetic_gmm_prior(seed=4),
+                            make_smpls(), None)
+        stream = SyntheticStream(num_frames=3, img_res=IMG, seed=7)
+        runner = StreamRunner(eng, str(tmp_path), log_every=100)
+        state, _ = runner.run(stream, eng.init_state(params, img_res=IMG))
+
+        counts = np.asarray(runner.optim_step_record) + 1
+        fs = np.load(osp.join(tmp_path, "feat_sims.npz"))
+        np.testing.assert_array_equal(fs["per_step_counts"], counts)
+        st = np.load(osp.join(tmp_path, "steps_statistic_res.npz"))
+        for key in ("mpjpe", "pampjpe", "pve", "upper_loss"):
+            assert st[key].shape == (3, counts.max()), key
+            np.testing.assert_array_equal(st[f"{key}_counts"], counts)
+            for r in range(3):
+                row = st[key][r]
+                assert np.isfinite(row[: counts[r]]).all()
+                assert np.isnan(row[counts[r]:]).all()
+        # trajectory endpoints must agree with the per-frame aggregates
+        for r in range(3):
+            np.testing.assert_allclose(
+                st["mpjpe"][r, counts[r] - 1], runner.mpjpe_all[r],
+                rtol=1e-5)
+
     def test_auto_reset_on_divergence(self, tmp_path):
         """auto_reset: non-finite losses/metrics trigger an automatic
         model/teacher/optimizer reset (the reference offers this only as the
