@@ -5,12 +5,20 @@ Capability parity with reference ``dynaboa_webcam.py``: capture -> 2D
 keypoints -> keypoint-extent bbox crop (scaleFactor 1.2, conf binarized at
 0.3) -> dynamic bilevel adaptation with losses over the 25 OpenPose joints ->
 rendered overlay -> display / video writer.  The 'r' key (display mode)
-resets model+teacher+optimizer (the divergence remedy, reference
-reload():184-195); frames with no detected person pass through unadapted
-(reference dynaboa_webcam.py:404,420-424).
+resets model+teacher+optimizer while PRESERVING the motion-history ring and
+frame counter, exactly like the reference's ``reload()`` which leaves
+``self.history`` untouched (dynaboa_webcam.py:184-195); frames with no
+detected person pass through unadapted (dynaboa_webcam.py:404,420-424).
+
+Pipelining: the adaptation step for frame t+1 is dispatched BEFORE frame t's
+vertices are fetched, so the TPU adapts on t+1 while the host rasterizes t —
+rendering lags the stream by exactly one frame.  A per-frame blocking fetch
+was the measured ~13 fps ceiling on tunneled TPUs (docs/PERF.md).
 
 Keypoint sources: --kp_source openpose (live bindings), or precomputed npz
 (--kp_file) so the path runs without native pose dependencies.
+``--fused_preprocess 1`` crops/resizes/normalizes on device (one jitted
+gather graph per raw frame shape) instead of on the host.
 
 Usage:
   python -m dynaboa_tpu.apps.stream --capture_mode video --video_file in.mp4 \
@@ -50,28 +58,85 @@ def build_parser():
     return p
 
 
-def keypoints_to_frame(image_rgb: np.ndarray, kp2d: np.ndarray,
-                       scale_factor: float = 1.2):
-    """bbox from keypoint extremes + crop + conf binarization
+def keypoints_to_bbox(kp2d: np.ndarray, scale_factor: float = 1.2):
+    """bbox from keypoint extremes + conf binarization
     (reference dynaboa_webcam.py dataprocess():197-217)."""
-    from dynaboa_tpu.data.streams import crop_and_normalize
-    from dynaboa_tpu.ops import image as I
-
     kp = kp2d[0].copy()
     lo = kp[:, :2].min(0)
     hi = kp[:, :2].max(0)
-    center = [(hi[0] + lo[0]) / 2, (hi[1] + lo[1]) / 2]
+    center = np.array([(hi[0] + lo[0]) / 2, (hi[1] + lo[1]) / 2], np.float32)
     scale = scale_factor * max(hi[0] - lo[0], hi[1] - lo[1]) / 200.0
     bbox = np.array([center[0], center[1], scale * 200.0], np.float32)
-
     kp[:, 2] = kp[:, 2] > 0.3
+    return kp, center, float(scale), bbox
+
+
+def keypoints_to_frame(image_rgb: np.ndarray, kp2d: np.ndarray,
+                       scale_factor: float = 1.2, fused: bool = False):
+    """Crop + normalize the frame around the keypoint bbox; ``fused`` runs
+    the crop/resize/normalize on device (runner's fused gather graph)."""
+    from dynaboa_tpu.data.streams import crop_and_normalize
+    from dynaboa_tpu.ops import image as I
+
+    kp, center, scale, bbox = keypoints_to_bbox(kp2d, scale_factor)
     kp_normed = I.normalize_j2d(kp, center, scale)
     # pad to the 49-slot layout (OpenPose half populated, GT half zero)
     j2d49 = np.zeros((49, 3), np.float32)
     j2d49[:25] = kp_normed
 
-    img = crop_and_normalize(image_rgb, center, scale)
+    if fused:
+        from dynaboa_tpu.engine.runner import _fused_preprocess
+
+        img = _fused_preprocess(image_rgb, center, scale, 224)
+    else:
+        img = crop_and_normalize(image_rgb, center, scale)
     return img, j2d49, bbox
+
+
+class AdaptPipeline:
+    """One-frame-lag adaptation pipeline over an ordered frame stream.
+
+    ``submit`` dispatches frame t's step asynchronously and returns the
+    COMPLETED record of frame t-1 (or the pass-through record, for frames
+    with no detected person — those ride the same queue so output order is
+    preserved).  ``drain`` returns the last in-flight record."""
+
+    def __init__(self, engine, state):
+        self.engine = engine
+        self.state = state
+        self._pending = None
+
+    def submit(self, frame, ctx):
+        self.state, out = self.engine.step(self.state, frame)
+        for k in ("verts", "cam"):
+            try:
+                out[k].copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+        prev, self._pending = self._pending, (out, ctx)
+        return prev
+
+    def submit_passthrough(self, ctx):
+        prev, self._pending = self._pending, (None, ctx)
+        return prev
+
+    def drain(self):
+        prev, self._pending = self._pending, None
+        return prev
+
+    def reset(self, engine_params):
+        """The divergence remedy (reference reload():184-195): model,
+        teacher and optimizer return to the pristine base weights while the
+        motion-history ring, frame counter and RNG stream survive — the
+        reference's ``self.history`` dict is likewise untouched."""
+        fresh = self.engine.init_state(
+            engine_params,
+            batch_size=int(self.state.hist_images.shape[1]),
+            img_res=int(self.state.hist_images.shape[2]))
+        self.state = self.state._replace(
+            params=fresh.params,
+            teacher_params=fresh.teacher_params,
+            opt_state=fresh.opt_state)
 
 
 def main(argv=None):
@@ -99,8 +164,9 @@ def main(argv=None):
                                   regressor_dim=128),
                 num_vertices=256) if getattr(args, "tiny", 0) else {}
     system = build_system(cfg, paths, compute_metrics=False, **tiny)
-    engine = system.engine
-    state = engine.init_state(system.params)
+    fused = bool(getattr(args, "fused_preprocess", 0))
+    pipeline = AdaptPipeline(system.engine,
+                             system.engine.init_state(system.params))
 
     if args.kp_source == "openpose":
         provider = OpenPoseProvider(args.openpose_models)
@@ -123,28 +189,22 @@ def main(argv=None):
     zeros10 = np.zeros((1, 10), np.float32)
     gender = np.zeros((1,), np.int32)
 
-    frame_idx = 0
-    while True:
-        ok, frame_bgr = read_next()
-        if not ok or frame_bgr is None:
-            break
-        frame_rgb = frame_bgr[:, :, ::-1].astype(np.float32)
-        kp2d = provider.estimate(frame_bgr)
-
-        if kp2d is None:
-            out_img = frame_bgr  # nobody detected: pass the frame through
+    def emit(rec) -> bool:
+        """Render + write/display one completed record.  Returns False when
+        the user quit."""
+        nonlocal writer
+        out, ctx = rec
+        frame_bgr = ctx["frame_bgr"]
+        if out is None:
+            out_img = frame_bgr          # nobody detected: pass through
         else:
-            img, j2d49, bbox = keypoints_to_frame(frame_rgb, kp2d)
-            f = Frame(image=img[None], j2d=j2d49[None], pose=zeros72,
-                      betas=zeros10, gender=gender)
-            state, out = engine.step(state, f)
             verts = np.asarray(out["verts"][0])
             cam = np.asarray(out["cam"])
             h, w = frame_bgr.shape[:2]
-            orig_cam = convert_crop_cam_to_orig_img(cam, bbox[None], w, h)[0]
+            orig_cam = convert_crop_cam_to_orig_img(
+                cam, ctx["bbox"][None], w, h)[0]
             out_img = renderer.render(frame_bgr, verts, orig_cam,
                                       color=(205 / 255, 129 / 255, 98 / 255))
-
         if args.out_video:
             if writer is None:
                 writer = cv2.VideoWriter(
@@ -155,11 +215,40 @@ def main(argv=None):
             cv2.imshow("dynaboa_tpu", out_img)
             key = cv2.waitKey(1) & 0xFF
             if key == ord("q"):
-                break
+                return False
             if key == ord("r"):
-                state = engine.init_state(system.params)
+                pipeline.reset(system.params)
                 print("the adaptor is reset")
+        return True
+
+    frame_idx = 0
+    import jax
+
+    while True:
+        ok, frame_bgr = read_next()
+        if not ok or frame_bgr is None:
+            break
+        frame_rgb = frame_bgr[:, :, ::-1].astype(np.float32)
+        kp2d = provider.estimate(frame_bgr)
+
+        if kp2d is None:
+            done = pipeline.submit_passthrough({"frame_bgr": frame_bgr})
+        else:
+            img, j2d49, bbox = keypoints_to_frame(frame_rgb, kp2d,
+                                                  fused=fused)
+            f = Frame(image=img[None] if fused else
+                      jax.device_put(img[None]),
+                      j2d=j2d49[None], pose=zeros72,
+                      betas=zeros10, gender=gender)
+            done = pipeline.submit(f, {"frame_bgr": frame_bgr, "bbox": bbox})
+        if done is not None and not emit(done):
+            frame_idx += 1
+            break
         frame_idx += 1
+
+    tail = pipeline.drain()
+    if tail is not None:
+        emit(tail)
 
     if writer is not None:
         writer.release()

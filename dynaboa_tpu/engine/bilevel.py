@@ -191,24 +191,6 @@ class BilevelEngine:
         t_s2d = project_to_crop(t_cam, t_s3d)["normed"]
         return (t_rotmat, t_shape, t_s2d, t_s3d)
 
-    def _teacher_term(self, touts, t_out):
-        """Weighted distillation term + its gradient w.r.t. the STUDENT
-        outputs (rotmat, shape, s2d, s3d).  Only the tiny loss arithmetic is
-        differentiated here; the caller composes these cotangents with a
-        saved network VJP instead of re-running the backbone backward."""
-
-        def term(ts):
-            tl, tparts = teacher_loss(*ts, *t_out)
-            return tl * self.cfg.teacherloss_weight, (tl, tparts)
-
-        (tlw, (tl, tparts)), d = jax.value_and_grad(
-            term, has_aux=True)(touts)
-        aux = {"teacherloss": tl}
-        # reference logs the distillation sub-terms under teacher/*
-        # (base_adaptor.py:338-343); the runner re-prefixes these
-        aux.update({f"teacher_{k}": v for k, v in tparts.items()})
-        return tlw, d, aux
-
     def _partial_level(self, params, frame: Frame, state: AdaptState,
                        bank, level: str):
         """Shared lower/upper loss builder, EXCLUDING the teacher term
@@ -221,10 +203,10 @@ class BilevelEngine:
         feature snapshot, so the batched forward has no data dependence on
         its own output.
 
-        The teacher term is split out (``_teacher_outs``/``_teacher_term``)
-        because the dynamic loop saves this function's VJP and decides only
-        AFTER seeing the convergence signal whether the backward pass — and
-        hence the teacher forward — is needed at all.
+        The teacher term lives in ``_level_loss`` (via ``_teacher_outs``):
+        it needs the carried teacher params, which vary per dynamic
+        iteration, while everything here depends only on the frame, the
+        history and the exemplar bank.
 
         Returns ``((loss, touts), (frame_out, aux))`` where ``touts`` are the
         frame-row outputs the distillation consumes and ``frame_out`` carries
@@ -361,12 +343,18 @@ class BilevelEngine:
         a = self.cfg.alpha
         return jax.tree.map(lambda t, p: a * t + (1.0 - a) * p, teacher, params)
 
-    def _metrics(self, verts, frame: Frame):
+    def _metrics(self, verts, frame: Frame, targets=None):
+        """``targets``: precomputed GT-side evaluation tensors (gt_targets),
+        shared by every per-update evaluation of one frame."""
         if not self.compute_metrics:
             z = jnp.zeros((frame.image.shape[0],))
             return {"mpjpe": z, "pampjpe": z, "pve": z}
-        return evaluate_frame(self.smpls, verts, frame.pose, frame.betas,
-                              frame.gender)
+        if targets is None:
+            return evaluate_frame(self.smpls, verts, frame.pose, frame.betas,
+                                  frame.gender)
+        from dynaboa_tpu.metrics.eval import evaluate_pred
+
+        return evaluate_pred(self.smpls, verts, targets)
 
     # -- the per-frame program ----------------------------------------------
 
@@ -380,10 +368,21 @@ class BilevelEngine:
         rng = state.rng
         outputs: dict[str, Any] = {}
 
+        # GT-side evaluation targets are prediction-independent: three SMPL
+        # forwards computed ONCE per frame and shared by the final metrics
+        # and every per-update record (see gt_targets)
+        eval_targets = None
+        if self.compute_metrics:
+            from dynaboa_tpu.metrics.eval import gt_targets
+
+            eval_targets = gt_targets(self.smpls, frame.pose, frame.betas,
+                                      frame.gender)
+
         if cfg.use_boa:
             # 1. pre-adaptation features (no grad; reference
             # dynaboa_benchmark.py:132-133)
-            _, _, _, init_feats = self._forward(state.params, frame.image)
+            rotmat0, shape0, cam0, init_feats = self._forward(
+                state.params, frame.image)
 
             # 2. inner step(s) on the virtual clone.  Retrieval for inner
             # step 0 keys off init_feats[5] — identical to the reference,
@@ -404,75 +403,109 @@ class BilevelEngine:
                 prev5 = lfeats[5][0]
                 if cfg.record_lowerlevel:
                     pred = self._predict(learner, frame.image)
-                    m = self._metrics(pred["verts"], frame)
+                    m = self._metrics(pred["verts"], frame, eval_targets)
                     outputs[f"lower_{i}_mpjpe"] = m["mpjpe"]
                     outputs[f"lower_{i}_pampjpe"] = m["pampjpe"]
             outputs["lower"] = lower_aux
 
-            # 3 + 4. outer updates, all inside ONE while_loop, with the
-            # gradient PIPELINED across iterations: body n applies update n
-            # using the carried gradient, then runs ONE batched loss forward
-            # at the just-updated params.  That forward is simultaneously
-            #   (a) the convergence signal — tap-12 cosine between
-            #       consecutive post-update snapshots, the exact reference
-            #       pairing (dynaboa_benchmark.py:161-192),
-            #   (b) the per-extra-step metric/sim record (reference
-            #       dynaboa_benchmark.py:158-191 runs an inference per step),
-            #   (c) the final prediction when the loop exits here, and
-            #   (d) the saved-VJP forward for update n+1's gradient.
-            # The backward pass (and the teacher forward it needs) runs under
-            # ``lax.cond`` only when the gate says iteration n+1 happens, so
-            # a converged frame pays one forward, not a forward+backward.
-            # This removes the reference's separate post-update forward
-            # (dynaboa_benchmark.py:163-166) from the per-update cost
-            # entirely.
+            # 3 + 4. outer updates, all inside ONE while_loop.  Iteration 0
+            # is the mandatory update whose gradient is evaluated at the
+            # inner-adapted params (the clone); iterations 1..optim_steps are
+            # the dynamic extra steps (gradient at the real params), gated by
+            # the tap-12 cosine similarity between *consecutive parameter
+            # snapshots* — exactly the reference pairing, since the loss
+            # forward of iteration n runs at the post-update params of
+            # iteration n-1 (dynaboa_benchmark.py:147-192).  Folding the
+            # first update into the loop body halves the number of
+            # backbone-gradient instances XLA has to compile.  Retrieval in
+            # iteration n keys off the features of params_n (the carried
+            # post-update snapshot of iteration n-1), matching the
+            # reference's own-forward features for n >= 1 and one inner-step
+            # stale for n == 0 (documented divergence: feature deltas per
+            # update are ~cos_sim_threshold, far below cluster separation).
             #
-            # Retrieval in iteration n keys off the features of the PREVIOUS
-            # snapshot (params_{n-1}; the exemplar rows are inputs to the
-            # forward that produces params_n's features, so keying off the
-            # own-forward features, as the reference does for n >= 1, is
-            # circular under pipelining).  Documented divergence, same class
-            # as the inner-step staleness at n == 0: feature deltas per
-            # update are ~cos_sim_threshold, orders of magnitude below
-            # cluster separation (tests/test_reference_parity.py
-            # TestRetrievalStaleness + retrieval-ON composed parity).
+            # The per-update records (tap-12 sim, upper loss, metrics after
+            # every update — reference dynaboa_benchmark.py:158-191) ride the
+            # loop carry as fixed-size arrays; the metric evaluation reuses
+            # the hoisted GT targets, so recording costs one B=1 SMPL decode
+            # + a 14-joint Procrustes per update (measured ~free).
+            #
+            # A gradient-pipelined variant (carry grads, gate the backward
+            # under lax.cond, reuse the loss forward as the convergence
+            # signal) was built and MEASURED SLOWER on the v5e: the trailing
+            # forward then drags the whole batched loss pipeline (3-row SMPL
+            # decode, GMM prior, labeled loss) into every frame, and the
+            # lax.cond boundary forces residual materialization — streaming
+            # 55 vs 67 fps, worst-case 76.6 vs 72.7 ms/frame.  The B=1
+            # post-update forward below is the cheaper convergence probe.
             max_updates = 1 + (cfg.optim_steps if cfg.dynamic_boa else 0)
-            teacher_on = self._teacher_active("upper")
             rec_on = self._record_dynamic
             B = frame.image.shape[0]
 
-            def upper_vjp(params, bank):
-                return jax.vjp(
-                    lambda p: self._partial_level(
-                        p, frame, state, bank, "upper"),
-                    params, has_aux=True)
+            def cond(carry):
+                (_, _, _, _, _, sim, n, _, _, _, _) = carry
+                return jnp.logical_and(
+                    n < max_updates,
+                    jnp.logical_or(
+                        n == 0,
+                        jnp.logical_and((1.0 - sim) > thr, n <= cap)),
+                )
 
-            def compose_grads(primals, vjp_fn, teacher_params):
-                """Total upper gradient: partial-loss pullback with the
-                teacher term composed in via output cotangents."""
-                lp, touts = primals
-                if teacher_on:
-                    t_out = self._teacher_outs(teacher_params, frame)
-                    tlw, d, t_aux = self._teacher_term(touts, t_out)
-                    (grads,) = vjp_fn((jnp.ones(()), d))
-                    return grads, lp + tlw, t_aux
-                zero_d = jax.tree.map(jnp.zeros_like, touts)
-                (grads,) = vjp_fn((jnp.ones(()), zero_d))
-                return grads, lp, {}
+            def body(carry):
+                (params, opt_state, teacher, rng, pred_c, sim, n,
+                 first, sims, losses, recs) = carry
+                rng, r = jax.random.split(rng)
+                eval_params = jax.lax.cond(
+                    n == 0, lambda: learner, lambda: params)
+                bank = self._retrieve(pred_c[3][5][0], r)
+                # the carried `teacher` (EMA'd after the previous update) is
+                # the distillation target — reference base_adaptor.py:320-343
+                # reads self.teacher, which dynaboa_benchmark.py:176-187
+                # updates after every optimizer step
+                (ul, (_, aux)), g = jax.value_and_grad(
+                    self._level_loss, has_aux=True
+                )(eval_params, frame, state, bank, "upper", teacher)
+                aux["loss"] = ul
+                losses = losses.at[n].set(ul)
+                params, opt_state = self._outer_update(g, params, opt_state)
+                if cfg.use_meanteacher:
+                    teacher = self._ema_teacher(teacher, params)
+                # post-update forward: yields the convergence signal (tap 12)
+                # AND the model outputs at the updated params, so the final
+                # prediction after the loop reuses this forward instead of
+                # running the backbone again (reference fwd at
+                # dynaboa_benchmark.py:163-166 + inference fwd at :189 — here
+                # they are one).
+                rotmat_p, shape_p, cam_p, feats_post = self._forward(
+                    params, frame.image)
+                sim = feature_cosine_similarities(
+                    (pred_c[3][12],), (feats_post[12],))[0]
+                sims = sims.at[n].set(sim)
+                if rec_on:
+                    # metric record after update n (reference inference per
+                    # dynamic step, dynaboa_benchmark.py:158-191)
+                    _, verts_p = self._decode(rotmat_p, shape_p,
+                                              no_grad=True)
+                    m = self._metrics(verts_p, frame, eval_targets)
+                    recs = (recs[0].at[n].set(m["mpjpe"]),
+                            recs[1].at[n].set(m["pampjpe"]),
+                            recs[2].at[n].set(m["pve"]))
+                first = jax.tree.map(
+                    lambda a, b: jnp.where(n == 0, a, b), aux, first)
+                return (params, opt_state, teacher, rng,
+                        (rotmat_p, shape_p, cam_p, feats_post),
+                        sim, n + 1, first, sims, losses, recs)
 
-            # iteration 0: gradient at the inner-adapted params (the clone),
-            # retrieval keyed off the pre-inner features (reference
-            # base_adaptor.py:261-262 via the clone's forward; staleness
-            # documented above)
-            rng, r = jax.random.split(rng)
-            bank0 = self._retrieve(init_feats[5][0], r)
-            primals0, vjp0, (fo0, aux0) = upper_vjp(learner, bank0)
-            grads0, loss0, t_aux0 = compose_grads(
-                primals0, vjp0, state.teacher_params)
-            aux0 = dict(aux0)
-            aux0.update(t_aux0)
-            aux0["loss"] = loss0
-            outputs["upper"] = aux0
+            # aux-log structure template (zeros; filled by iteration 0).
+            # eval_shape traces without compiling, so this adds no HLO.
+            bank_t = self._retrieve(prev5, rng)
+            aux_shapes = jax.eval_shape(
+                lambda p: self._level_loss(
+                    p, frame, state, bank_t, "upper")[1][1],
+                learner)
+            aux_t = jax.tree.map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype), aux_shapes)
+            aux_t["loss"] = jnp.zeros(())
 
             sims_init = jnp.zeros((max_updates,), jnp.float32)
             losses_init = jnp.zeros((max_updates,), jnp.float32)
@@ -482,60 +515,17 @@ class BilevelEngine:
                 if rec_on else tuple(jnp.zeros((0,), jnp.float32)
                                      for _ in range(3)))
 
-            def cond(carry):
-                return carry[9]     # cont
-
-            def body(carry):
-                (params, opt_state, teacher, rng, fo, tap_prev, grads,
-                 loss_n, n, _cont, sims, losses, recs) = carry
-                # apply update n; EMA after every optimizer step
-                # (reference dynaboa_benchmark.py:149-154 / 176-181)
-                params, opt_state = self._outer_update(
-                    grads, params, opt_state)
-                if cfg.use_meanteacher:
-                    teacher = self._ema_teacher(teacher, params)
-                losses = losses.at[n].set(loss_n)
-
-                # trailing forward at the just-updated params
-                rng, r = jax.random.split(rng)
-                bank = self._retrieve(fo["feats"][5][0], r)
-                primals, vjp_fn, (fo_new, _aux) = upper_vjp(params, bank)
-                sim = feature_cosine_similarities(
-                    (tap_prev,), (fo_new["feats"][12],))[0]
-                sims = sims.at[n].set(sim)
-                if rec_on:
-                    m = self._metrics(fo_new["verts"], frame)
-                    recs = (recs[0].at[n].set(m["mpjpe"]),
-                            recs[1].at[n].set(m["pampjpe"]),
-                            recs[2].at[n].set(m["pve"]))
-
-                cont = jnp.logical_and(
-                    jnp.logical_and(n + 1 < max_updates, n + 1 <= cap),
-                    (1.0 - sim) > thr)
-
-                def with_bwd():
-                    g, l, _t = compose_grads(primals, vjp_fn, teacher)
-                    return g, l
-
-                def no_bwd():
-                    return (jax.tree.map(jnp.zeros_like, params),
-                            jnp.zeros((), jnp.float32))
-
-                grads, loss_n = jax.lax.cond(cont, with_bwd, no_bwd)
-                return (params, opt_state, teacher, rng, fo_new,
-                        fo_new["feats"][12], grads, loss_n, n + 1, cont,
-                        sims, losses, recs)
-
-            (params, opt_state, teacher, rng, fo, _tap, _g, _l, nupd,
-             _cont, sims, losses, recs) = jax.lax.while_loop(
+            (params, opt_state, teacher, rng, pred_f, sim12, nupd,
+             upper_aux, sims, losses, recs) = jax.lax.while_loop(
                 cond, body,
                 (state.params, state.opt_state, state.teacher_params,
-                 rng, fo0, init_feats[12], grads0, loss0,
-                 jnp.zeros((), jnp.int32), jnp.asarray(True),
+                 rng, (rotmat0, shape0, cam0, init_feats),
+                 jnp.zeros(()), jnp.zeros((), jnp.int32), aux_t,
                  sims_init, losses_init, recs_init),
             )
+            outputs["upper"] = upper_aux
             outputs["optim_steps"] = nupd - 1      # extra steps beyond the 1st
-            outputs["feat_sim_final"] = sims[nupd - 1]
+            outputs["feat_sim_final"] = sim12
             # per-update trajectories (reference dynaboa_benchmark.py:158-191
             # feat_sims / step statistics); entries beyond optim_steps are 0
             outputs["per_step_sims"] = sims
@@ -561,10 +551,15 @@ class BilevelEngine:
                        if cfg.use_meanteacher else state.teacher_params)
 
         # 5. final inference + metrics at the adapted weights.  Under BOA the
-        # while-loop's last trailing forward already ran the backbone AND the
-        # SMPL decode at the final params — the prediction is free here.
+        # while-loop's last post-update forward already ran the backbone at
+        # the final params, so only the SMPL decode + projection remain here.
         if cfg.use_boa:
-            pred = fo
+            rotmat_f, shape_f, cam_f, feats_f = pred_f
+            s3d_f, verts_f = self._decode(rotmat_f, shape_f, no_grad=True)
+            pred = dict(rotmat=rotmat_f, shape=shape_f, cam=cam_f,
+                        s3d=s3d_f, verts=verts_f,
+                        s2d=project_to_crop(cam_f, s3d_f)["normed"],
+                        feats=feats_f)
             # observability: per-tap similarity between the pre-adaptation
             # and final features (the reference logs per-update-step sims,
             # base_adaptor.py:211-219; the per-step tap-12 trajectory is in
@@ -573,7 +568,7 @@ class BilevelEngine:
                 init_feats, pred["feats"])
         else:
             pred = self._predict(params, frame.image)
-        metrics = self._metrics(pred["verts"], frame)
+        metrics = self._metrics(pred["verts"], frame, eval_targets)
         outputs.update(metrics)
         outputs["verts"] = pred["verts"]
         outputs["rotmat"] = pred["rotmat"]

@@ -45,6 +45,56 @@ def h36m_14_joints(Jreg: jnp.ndarray, vertices: jnp.ndarray) -> jnp.ndarray:
     return j - pelvis
 
 
+def gt_targets(
+    smpls: GenderedSMPL,
+    gt_pose: jnp.ndarray,          # (N, 72) axis-angle
+    gt_betas: jnp.ndarray,         # (N, 10)
+    gender: jnp.ndarray,           # (N,) int: 0 male, 1 female
+) -> dict:
+    """Prediction-independent evaluation targets: three GT SMPL forwards
+    (gendered J14 skeleton + neutral mesh).  Loop-invariant within a frame —
+    the per-update metric records (reference dynaboa_benchmark.py:158-191)
+    evaluate up to 1+optim_steps predictions against the SAME targets, so
+    the caller computes these once outside the dynamic while_loop (XLA does
+    not hoist them out of the loop body on its own; measured ~1 ms per
+    evaluate on the v5e)."""
+    male = smpl_forward(smpls.male, gt_betas, gt_pose, pose2rot=True)
+    female = smpl_forward(smpls.female, gt_betas, gt_pose, pose2rot=True)
+    gt_vertices = jnp.where(
+        (gender == 1)[:, None, None], female.vertices, male.vertices
+    )
+    neutral = smpl_forward(smpls.neutral, gt_betas, gt_pose, pose2rot=True)
+    return {
+        "gt_j14": h36m_14_joints(smpls.J_regressor_h36m, gt_vertices),
+        "gt_neutral_vertices": neutral.vertices,
+    }
+
+
+def evaluate_pred(
+    smpls: GenderedSMPL,
+    pred_vertices: jnp.ndarray,    # (N, V, 3)
+    targets: dict,
+):
+    """Metrics of one prediction against precomputed ``gt_targets``."""
+    gt_j14 = targets["gt_j14"]
+    pred_j14 = h36m_14_joints(smpls.J_regressor_h36m, pred_vertices)
+
+    mpjpe = jnp.sqrt(((pred_j14 - gt_j14) ** 2).sum(-1)).mean(-1)
+
+    aligned = similarity_transform(pred_j14, gt_j14)
+    pampjpe = jnp.sqrt(((aligned - gt_j14) ** 2).sum(-1)).mean(-1)
+
+    pve = jnp.sqrt(
+        ((targets["gt_neutral_vertices"] - pred_vertices) ** 2).sum(-1)
+    ).mean(-1)
+
+    return {
+        "mpjpe": mpjpe * 1000.0,
+        "pampjpe": pampjpe * 1000.0,
+        "pve": pve * 1000.0,
+    }
+
+
 def evaluate_frame(
     smpls: GenderedSMPL,
     pred_vertices: jnp.ndarray,    # (N, V, 3)
@@ -53,26 +103,5 @@ def evaluate_frame(
     gender: jnp.ndarray,           # (N,) int: 0 male, 1 female
 ):
     """Returns dict of (N,) metric arrays in millimetres."""
-    male = smpl_forward(smpls.male, gt_betas, gt_pose, pose2rot=True)
-    female = smpl_forward(smpls.female, gt_betas, gt_pose, pose2rot=True)
-    gt_vertices = jnp.where(
-        (gender == 1)[:, None, None], female.vertices, male.vertices
-    )
-    gt_j14 = h36m_14_joints(smpls.J_regressor_h36m, gt_vertices)
-    pred_j14 = h36m_14_joints(smpls.J_regressor_h36m, pred_vertices)
-
-    mpjpe = jnp.sqrt(((pred_j14 - gt_j14) ** 2).sum(-1)).mean(-1)
-
-    aligned = similarity_transform(pred_j14, gt_j14)
-    pampjpe = jnp.sqrt(((aligned - gt_j14) ** 2).sum(-1)).mean(-1)
-
-    neutral = smpl_forward(smpls.neutral, gt_betas, gt_pose, pose2rot=True)
-    pve = jnp.sqrt(
-        ((neutral.vertices - pred_vertices) ** 2).sum(-1)
-    ).mean(-1)
-
-    return {
-        "mpjpe": mpjpe * 1000.0,
-        "pampjpe": pampjpe * 1000.0,
-        "pve": pve * 1000.0,
-    }
+    return evaluate_pred(
+        smpls, pred_vertices, gt_targets(smpls, gt_pose, gt_betas, gender))

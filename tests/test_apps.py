@@ -57,3 +57,119 @@ class TestStreamApp:
         ])
         assert frames == n
         assert osp.exists(out_video) and os.path.getsize(out_video) > 0
+
+    def test_video_end_to_end_fused_preprocess(self, tmp_path):
+        """Same stream surface with the on-device crop/resize/normalize
+        (--fused_preprocess) instead of the host crop."""
+        cv2 = pytest.importorskip("cv2")
+        from dynaboa_tpu.apps.stream import main
+
+        vid = str(tmp_path / "in.mp4")
+        w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (320, 240))
+        rng = np.random.default_rng(3)
+        n = 3
+        for _ in range(n):
+            w.write(rng.integers(0, 255, size=(240, 320, 3), dtype=np.uint8))
+        w.release()
+        kps = np.zeros((n, 25, 3), np.float32)
+        kps[:, :, 0] = rng.uniform(100, 220, size=(n, 25))
+        kps[:, :, 1] = rng.uniform(60, 180, size=(n, 25))
+        kps[:, :, 2] = 0.9
+        kp_file = str(tmp_path / "kps.npz")
+        np.savez(kp_file, keypoints=kps)
+
+        out_video = str(tmp_path / "out.mp4")
+        frames = main([
+            "--expdir", str(tmp_path), "--expname", "stream_fused",
+            "--capture_mode", "video", "--video_file", vid,
+            "--kp_file", kp_file, "--out_video", out_video,
+            "--fused_preprocess", "1", *LEAN,
+        ])
+        assert frames == n
+        assert osp.exists(out_video) and os.path.getsize(out_video) > 0
+
+
+class TestAdaptPipeline:
+    def test_one_frame_lag_preserves_order(self):
+        """The render of frame t must come from a record returned AFTER
+        frame t+1's dispatch (double buffering), and pass-through frames
+        (no person detected) must ride the same queue so the output order
+        is the capture order."""
+        from dynaboa_tpu.apps.stream import AdaptPipeline
+
+        dispatched = []
+
+        class FakeEngine:
+            def step(self, state, frame):
+                dispatched.append(frame)
+                return state, {"verts": np.zeros((1, 4, 3)),
+                               "cam": np.zeros((1, 3))}
+
+        pipe = AdaptPipeline(FakeEngine(), state="s0")
+        assert pipe.submit("f0", {"i": 0}) is None
+        r = pipe.submit("f1", {"i": 1})
+        assert r[1]["i"] == 0 and dispatched == ["f0", "f1"]
+        r = pipe.submit_passthrough({"i": 2})
+        assert r[1]["i"] == 1
+        r = pipe.submit("f3", {"i": 3})
+        assert r[0] is None and r[1]["i"] == 2
+        tail = pipe.drain()
+        assert tail[1]["i"] == 3
+        assert pipe.drain() is None
+        assert dispatched == ["f0", "f1", "f3"]
+
+    def test_reset_preserves_history_ring(self):
+        """'r' reset parity with reference reload() (dynaboa_webcam.py:
+        184-195): weights/teacher/optimizer return to pristine, the motion
+        history ring and frame counter survive."""
+        import jax
+        from dynaboa_tpu.apps.stream import AdaptPipeline
+        from dynaboa_tpu.config import AdaptConfig
+        from dynaboa_tpu.engine import BilevelEngine, Frame
+        from dynaboa_tpu.losses import synthetic_gmm_prior
+        from dynaboa_tpu.models.hmr import HMR, init_hmr_params
+        from tests.test_engine import make_smpls, IMG, WIDTH
+
+        cfg = AdaptConfig(dynamic_boa=False, use_meanteacher=False,
+                          use_motion=True, retrieval=False,
+                          lower_level_mixtrain=False,
+                          upper_level_mixtrain=False,
+                          record_lowerlevel=False, interval=2,
+                          keypoint_source="openpose")
+        model = HMR(layers=(1, 1, 1, 1), width=WIDTH, regressor_dim=128)
+        params = init_hmr_params(model, jax.random.PRNGKey(0),
+                                 input_shape=(1, IMG, IMG, 3))
+        eng = BilevelEngine(cfg, model, synthetic_gmm_prior(seed=4),
+                            make_smpls(), None, compute_metrics=False)
+        pristine = jax.tree.map(np.asarray, params)
+
+        pipe = AdaptPipeline(eng, eng.init_state(params, img_res=IMG))
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            f = Frame(
+                image=np.asarray(rng.normal(size=(1, IMG, IMG, 3)),
+                                 np.float32),
+                j2d=np.concatenate([rng.uniform(-1, 1, (1, 49, 2)),
+                                    np.ones((1, 49, 1))], -1).astype(
+                                        np.float32),
+                pose=np.zeros((1, 72), np.float32),
+                betas=np.zeros((1, 10), np.float32),
+                gender=np.zeros((1,), np.int32))
+            pipe.submit(f, {"i": i})
+
+        hist_before = np.asarray(pipe.state.hist_images)
+        step_before = int(pipe.state.step)
+        assert np.abs(hist_before).sum() > 0          # ring was written
+        # adapted weights have drifted from pristine
+        drift = max(np.abs(a - np.asarray(b)).max() for a, b in zip(
+            jax.tree.leaves(pristine), jax.tree.leaves(pipe.state.params)))
+        assert drift > 0
+
+        pipe.reset(params)
+        for a, b in zip(jax.tree.leaves(pristine),
+                        jax.tree.leaves(pipe.state.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        np.testing.assert_array_equal(hist_before,
+                                      np.asarray(pipe.state.hist_images))
+        assert int(pipe.state.step) == step_before

@@ -202,6 +202,35 @@ class TestTorchParity:
             np.asarray(rotmat).reshape(-1, 3, 3), R_t, atol=2e-4
         )
 
+    def test_forward_parity_at_full_depth(self, rng):
+        """The REAL ResNet-50 topology: [3,4,6,3] blocks, width 64, 224^2 —
+        the converter's scan-stacking of 2/3/5/2 tail blocks per stage has
+        never been exercised at this depth before (VERDICT r2 item 1).
+        Covers converter bugs that only appear with multi-block tails."""
+        import torch
+
+        torch.manual_seed(7)
+        layers = (3, 4, 6, 3)
+        oracle = TorchHMROracle(layers=layers)
+        params, _ = convert_torch_state_dict(oracle.state_dict(),
+                                             scan_blocks=True)
+        model = HMR(layers=layers, scan_blocks=True,
+                    mean_cam=(0.9, 0.0, 0.0))
+
+        x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+        with torch.no_grad():
+            tp, ts, tc = oracle.net(
+                torch.from_numpy(x), torch.zeros(1, NPOSE),
+                torch.zeros(1, 10), torch.tensor([[0.9, 0.0, 0.0]]))
+        _, fs, fc, feats = model.apply(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            init_pose=jnp.zeros((1, NPOSE)), init_shape=jnp.zeros((1, 10)),
+            init_cam=jnp.asarray([[0.9, 0.0, 0.0]]),
+        )
+        assert len(feats) == 15 and feats[5].shape == (1, 2048)
+        np.testing.assert_allclose(np.asarray(fs), ts.numpy(), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(fc), tc.numpy(), atol=5e-4)
+
     def test_scanned_stages_match_torch_oracle(self, rng):
         """Stages with >1 block use nn.scan over stacked tail-block params;
         the converted forward must still match torch exactly."""

@@ -202,7 +202,8 @@ class TorchSMPL:
 class TorchTapHMR(tn.Module):
     """Reference model/hmr.py topology at test scale, with need_feature taps."""
 
-    def __init__(self, width=WIDTH, rdim=RDIM, mean_pose=None):
+    def __init__(self, width=WIDTH, rdim=RDIM, layers=(1, 1, 1, 1),
+                 mean_pose=None):
         super().__init__()
         gn = lambda c: tn.GroupNorm(4, c)
         w = width
@@ -210,22 +211,32 @@ class TorchTapHMR(tn.Module):
         self.bn1 = gn(w)
         self.maxpool = tn.MaxPool2d(3, stride=2, padding=1)
 
-        def block(inp, planes, stride):
-            return tn.ModuleDict(dict(
+        def block(inp, planes, stride, down):
+            d = dict(
                 conv1=tn.Conv2d(inp, planes, 1, bias=False), bn1=gn(planes),
                 conv2=tn.Conv2d(planes, planes, 3, stride=stride, padding=1,
                                 bias=False), bn2=gn(planes),
                 conv3=tn.Conv2d(planes, planes * 4, 1, bias=False),
                 bn3=gn(planes * 4),
-                downsample=tn.Sequential(
+            )
+            if down:
+                # reference hmr.py:85-90: downsample on the stage's first
+                # block only (stride != 1 or inplanes != planes*4)
+                d["downsample"] = tn.Sequential(
                     tn.Conv2d(inp, planes * 4, 1, stride=stride, bias=False),
-                    gn(planes * 4)),
-            ))
+                    gn(planes * 4))
+            return tn.ModuleDict(d)
 
-        self.layer1 = tn.ModuleList([block(w, w, 1)])
-        self.layer2 = tn.ModuleList([block(4 * w, 2 * w, 2)])
-        self.layer3 = tn.ModuleList([block(8 * w, 4 * w, 2)])
-        self.layer4 = tn.ModuleList([block(16 * w, 8 * w, 2)])
+        def stage(inp, planes, stride, blocks):
+            mods = [block(inp, planes, stride, True)]
+            mods += [block(4 * planes, planes, 1, False)
+                     for _ in range(blocks - 1)]
+            return tn.ModuleList(mods)
+
+        self.layer1 = stage(w, w, 1, layers[0])
+        self.layer2 = stage(4 * w, 2 * w, 2, layers[1])
+        self.layer3 = stage(8 * w, 4 * w, 2, layers[2])
+        self.layer4 = stage(16 * w, 8 * w, 2, layers[3])
         xf_dim = 32 * w
         self.fc1 = tn.Linear(xf_dim + NPOSE + 13, rdim)
         self.fc2 = tn.Linear(rdim, rdim)
@@ -251,9 +262,10 @@ class TorchTapHMR(tn.Module):
                     sd[f"{p}.conv{i}.weight"] = blk[f"conv{i}"].weight
                     sd[f"{p}.bn{i}.weight"] = blk[f"bn{i}"].weight
                     sd[f"{p}.bn{i}.bias"] = blk[f"bn{i}"].bias
-                sd[f"{p}.downsample.0.weight"] = blk.downsample[0].weight
-                sd[f"{p}.downsample.1.weight"] = blk.downsample[1].weight
-                sd[f"{p}.downsample.1.bias"] = blk.downsample[1].bias
+                if "downsample" in blk:
+                    sd[f"{p}.downsample.0.weight"] = blk.downsample[0].weight
+                    sd[f"{p}.downsample.1.weight"] = blk.downsample[1].weight
+                    sd[f"{p}.downsample.1.bias"] = blk.downsample[1].bias
         for n in ("fc1", "fc2", "decpose", "decshape", "deccam"):
             m = getattr(self, n)
             sd[f"{n}.weight"] = m.weight
@@ -261,7 +273,7 @@ class TorchTapHMR(tn.Module):
         return sd
 
     def _run_block(self, blk, x):
-        r = blk.downsample(x)
+        r = blk.downsample(x) if "downsample" in blk else x
         out = F.relu(blk.bn1(blk.conv1(x)))
         out = F.relu(blk.bn2(blk.conv2(out)))
         out = blk.bn3(blk.conv3(out))

@@ -80,6 +80,7 @@ def main():
 
     variants = {
         "base": dict(cfg=base),
+        "base_norec": dict(cfg=base.replace(record_dynamic=False)),
         "no_teacher": dict(cfg=base.replace(use_meanteacher=False)),
         "no_metrics": dict(cfg=base, compute_metrics=False),
         "no_mixtrain": dict(cfg=base.replace(

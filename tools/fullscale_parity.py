@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Run the full-model-scale composed parity harness and record the evidence.
+
+Torch mirror runs on CPU; the engine runs on the default backend (the TPU on
+the bench host) with float32 matmul precision forced to 'highest' so TPU
+matmul rounding does not pollute the torch comparison.  Writes
+``PARITY_FULLSCALE.json`` at the repo root — the committed record the
+opt-in pytest (tests/test_fullscale_parity.py) mirrors.
+
+Usage:  python tools/fullscale_parity.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, osp.join(ROOT, "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the engine onto the CPU backend")
+    ap.add_argument("--out", default=osp.join(ROOT, "PARITY_FULLSCALE.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import dynaboa_tpu
+
+    dynaboa_tpu.enable_compilation_cache()
+
+    from test_fullscale_parity import check_fullscale, run_fullscale
+
+    t0 = time.time()
+    res = run_fullscale()
+    res["wall_seconds"] = round(time.time() - t0, 1)
+    res["backend"] = jax.default_backend()
+    check_fullscale(res)
+    res["checks"] = "PASSED (step counts equal, losses rtol<=5e-3, "
+    res["checks"] += "weight/teacher drift under the Adam bound, sims atol<=5e-4)"
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
