@@ -129,12 +129,13 @@ def run_fullscale(n_frames: int = 1, optim_steps: int = 2, thr: float = -1.0,
     n_updates = sum(e + 1 for e in t_extra)
     tol = 4 * n_updates * cfg.lr
 
-    flat_t, _ = trp.torch_params_as_jax_tree(adaptor.model, state.params)
+    flat_t, _ = trp.torch_params_as_jax_tree(adaptor.model, state.params,
+                                             scan_blocks=True)
     drift = max(
         float(np.abs(np.asarray(a) - np.asarray(b)).max())
         for a, b in zip(flat_t, jax.tree.leaves(state.params)))
     flat_tt, _ = trp.torch_params_as_jax_tree(
-        adaptor.teacher, state.teacher_params)
+        adaptor.teacher, state.teacher_params, scan_blocks=True)
     t_drift = max(
         float(np.abs(np.asarray(a) - np.asarray(b)).max())
         for a, b in zip(flat_tt, jax.tree.leaves(state.teacher_params)))

@@ -608,10 +608,10 @@ def run_jax(parity_setup, cfg, frames, thr):
     return eng, state, outs
 
 
-def torch_params_as_jax_tree(net, like_tree):
+def torch_params_as_jax_tree(net, like_tree, scan_blocks=False):
     sd = {k: v.detach().clone() for k, v in
           net.state_dict_reference_names().items()}
-    params, _ = convert_torch_state_dict(sd, scan_blocks=False)
+    params, _ = convert_torch_state_dict(sd, scan_blocks=scan_blocks)
     flat_t, _ = jax.tree.flatten(params)
     flat_j, _ = jax.tree.flatten(like_tree)
     return flat_t, flat_j
