@@ -190,30 +190,29 @@ def measure_curve(system, frames, label, caps=(0, 1, 3, 5, 7), n_frames=24):
     return curve
 
 
-def measure_shardmap_1dev(system, frames, label, n_frames=24):
-    """ParallelStreams over a ONE-device mesh on the real chip: the only
-    measurable point of the scaling claim in this environment.  Done-criteria
-    (VERDICT r2 item 7): the shard_map wrapper costs ~nothing vs the bare
-    engine."""
-    from dynaboa_tpu.engine.bilevel import Frame
+def measure_parallel_1dev(system, frames, label, n_frames=24):
+    """ParallelStreams (independent mode) over a ONE-device mesh on the real
+    chip: the only measurable point of the scaling claim in this environment.
+    Done-criteria (VERDICT r2 item 7): the parallel wrapper costs ~nothing vs
+    the bare engine.  (The shard_map SPMD lowering of the same program was
+    measured 4.3x slower on this backend — 13.5 vs 57.8 fps — which is why
+    independent streams dispatch per device instead; docs/PERF.md.)"""
     from dynaboa_tpu.parallel.streams import ParallelStreams, make_mesh
-
-    import jax.numpy as jnp
 
     par = ParallelStreams(system.engine, make_mesh(1))
     states = par.init_states(system.params, 1)
-    sframes = [Frame(*[jnp.asarray(x)[None] for x in f]) for f in frames]
+    sframes = [[f] for f in frames]
     t0 = time.perf_counter()
-    states, out = par.step(states, sframes[0])
-    float(np.asarray(out["mpjpe"]).sum())
-    log(f"[{label}] shard_map(1 dev) compile+first: "
+    states, outs = par.step(states, sframes[0])
+    float(np.asarray(outs[0]["mpjpe"]).sum())
+    log(f"[{label}] parallel(1 dev) compile+first: "
         f"{time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for i in range(n_frames):
-        states, out = par.step(states, sframes[(i + 1) % len(sframes)])
-    float(np.asarray(out["mpjpe"]).sum())
+        states, outs = par.step(states, sframes[(i + 1) % len(sframes)])
+    float(np.asarray(outs[0]["mpjpe"]).sum())
     fps = n_frames / (time.perf_counter() - t0)
-    log(f"[{label}] shard_map(1 dev): {n_frames} frames -> {fps:.2f} fps")
+    log(f"[{label}] parallel(1 dev): {n_frames} frames -> {fps:.2f} fps")
     return fps
 
 
@@ -285,7 +284,7 @@ def main():
     curve = measure_curve(flag_sys, frames, flag_label)
     fps_chunk = measure_chunked(flag_sys, frames, flag_label)
     fps_windowed = measure_windowed(flag_sys, frames, flag_label)
-    fps_shardmap = measure_shardmap_1dev(flag_sys, frames, flag_label)
+    fps_parallel = measure_parallel_1dev(flag_sys, frames, flag_label)
     fps_runner = measure_runner(flag_sys, flag_label)
 
     fps = max(fps_stream, fps_chunk)
@@ -302,7 +301,7 @@ def main():
         "worst_case_extra_steps": round(wc_extra, 2),
         "fps_vs_extra_steps": {str(k): v for k, v in curve.items()},
         "windowed8_aggregate_fps": round(fps_windowed, 3),
-        "shardmap_1dev_fps": round(fps_shardmap, 3),
+        "parallel_1dev_fps": round(fps_parallel, 3),
         "runner_steady_fps": round(fps_runner, 3),
         "fp32_streaming_fps": round(fps32_stream, 3),
         "bf16_single_step_mpjpe_rel": round(prec_rel, 5),

@@ -4,6 +4,7 @@ from dynaboa_tpu.parallel.streams import (
     ParallelStreams,
     make_mesh,
     stack_frames,
+    stack_outs,
 )
 
-__all__ = ["ParallelStreams", "make_mesh", "stack_frames"]
+__all__ = ["ParallelStreams", "make_mesh", "stack_frames", "stack_outs"]

@@ -6,19 +6,37 @@ uses.  The faithful scale-out axis is therefore *across independent
 (seq, person) streams* — 3DPW #PS has 37 of them — each with private weights
 and optimizer state.
 
-Design: the whole ``AdaptState`` carry gets a leading stream axis sharded over
-a 1-D ``jax.sharding.Mesh``; ``shard_map`` runs the single-stream bilevel step
-(including its data-dependent ``lax.while_loop``) independently per device,
-with ``vmap`` batching multiple streams per device.  There is no cross-stream
-communication — no collectives are needed in the faithful configuration; an
-optional ``psum`` gradient-averaging mode turns the same program into
-replicated-stream joint adaptation (shared weights), riding ICI.
+Two execution modes, chosen by what the parallelism actually needs:
 
-Perf guidance (measured, docs/PERF.md): keep ``num_streams == mesh.size`` on
-TPU.  More than one stream per device makes ``vmap`` map over per-stream
-params, turning every convolution into a per-sample-weight convolution the
-MXU cannot batch (measured 15x slower per step).  The vmap path is for
-CPU-mesh tests and for ``share_weights`` replicated adaptation.
+- **Independent streams (default): per-device dispatch.**  There is NO
+  cross-stream communication, so SPMD buys nothing — each stream's
+  ``AdaptState`` is committed to its own device and the ordinary
+  single-stream jitted program (donated carry, data-dependent
+  ``lax.while_loop`` and all) is dispatched to it asynchronously.  JAX
+  dispatches are non-blocking, so all devices run concurrently; aggregate
+  throughput is devices x single-chip fps by construction, and the real
+  chip reuses the exact executable the single-stream bench runs (measured
+  on the v5e: 64.8 fps through this wrapper vs 63.4 bare — see
+  docs/PERF.md).  Executables are device-bound, so each device pays one
+  first-use compile (persistent-cached on TPU).  This matters because the
+  alternative was measured slow:
+  ``shard_map``-lowering the full bilevel program costs 4.3x on this
+  backend (13.5 vs 57.8 fps on a ONE-device mesh, donation irrelevant,
+  vmap bypassed) — the SPMD partitioner's handling of the dynamic
+  while_loop program, not any real collective or batching cost.
+
+- **Replicated streams (``share_weights=True``): shard_map + psum.**  Joint
+  adaptation averages the adapted weights across all streams after every
+  step — a genuine collective riding ICI — so this mode runs as one
+  SPMD program: ``shard_map`` over a 1-D ``jax.sharding.Mesh`` with
+  ``vmap`` batching multiple streams per device and ``pmean`` for the
+  consensus.
+
+Perf guidance (measured, docs/PERF.md): keep ``num_streams == mesh.size``
+in share_weights mode on TPU — vmap over a per-stream-params axis turns
+every convolution into a per-sample-weight convolution the MXU cannot
+batch (measured 15x slower per step).  Independent mode time-slices
+streams on a device instead of vmapping them, so any S works.
 """
 
 from __future__ import annotations
@@ -45,35 +63,45 @@ def make_mesh(n_devices: int | None = None, axis: str = "stream") -> Mesh:
 class ParallelStreams:
     """Runs S independent adaptation streams over a device mesh.
 
-    S must be a multiple of the mesh size; each device owns S / D streams
-    (vmapped locally, sharded globally).
+    Independent mode: states are a LIST of per-stream ``AdaptState``s, each
+    committed to ``mesh.devices[s % D]``; ``step`` returns (list of new
+    states, list of per-stream output dicts) with nothing fetched — use
+    :func:`stack_outs` to materialize.  share_weights mode: states are one
+    stacked ``AdaptState`` with a leading stream axis sharded over the
+    mesh (S must be a multiple of the mesh size), outputs likewise.
     """
 
     def __init__(self, engine: BilevelEngine, mesh: Mesh,
                  share_weights: bool = False):
         self.engine = engine
         self.mesh = mesh
+        self.devices = list(mesh.devices.ravel())
         self.axis = mesh.axis_names[0]
         self.share_weights = share_weights
+        if share_weights:
+            self._build_spmd()
+
+    # -- SPMD (share_weights) program ---------------------------------------
+
+    def _build_spmd(self):
+        engine = self.engine
 
         def one_stream_step(state: AdaptState, frame: Frame):
             return engine._step(state, frame)
 
         def local_step(state, frame):
-            # vmap over this device's local streams
             new_state, out = jax.vmap(one_stream_step)(state, frame)
-            if self.share_weights:
-                # replicated-stream mode: average the adapted weights across
-                # all streams so every stream continues from consensus params
-                mean_params = jax.lax.pmean(
-                    jax.tree.map(lambda x: x.mean(0), new_state.params),
-                    self.axis,
-                )
-                bcast = jax.tree.map(
-                    lambda m, x: jnp.broadcast_to(m, x.shape),
-                    mean_params, new_state.params,
-                )
-                new_state = new_state._replace(params=bcast)
+            # average the adapted weights across all streams so every
+            # stream continues from consensus params
+            mean_params = jax.lax.pmean(
+                jax.tree.map(lambda x: x.mean(0), new_state.params),
+                self.axis,
+            )
+            bcast = jax.tree.map(
+                lambda m, x: jnp.broadcast_to(m, x.shape),
+                mean_params, new_state.params,
+            )
+            new_state = new_state._replace(params=bcast)
             return new_state, out
 
         spec = P(self.axis)
@@ -90,12 +118,30 @@ class ParallelStreams:
     # -- state management ----------------------------------------------------
 
     def init_states(self, params, num_streams: int, img_res: int = 224,
-                    batch_size: int = 1) -> AdaptState:
-        """Broadcast a fresh per-stream state to the leading stream axis;
-        each stream gets a distinct RNG key."""
+                    batch_size: int = 1):
+        """Fresh per-stream states, each with a distinct RNG key.
+
+        Independent mode: a list of states committed round-robin to the
+        mesh devices.  share_weights mode: one stacked state with the
+        leading stream axis sharded over the mesh."""
         base = self.engine.init_state(params, batch_size=batch_size,
                                       img_res=img_res)
         S = num_streams
+        keys = jax.random.split(jax.random.PRNGKey(self.engine.cfg.seed), S)
+
+        if not self.share_weights:
+            # Each stream must own PRIVATE buffers: the engine's jitted step
+            # donates its carry, and device_put to the array's current
+            # device is a no-op alias — without the copy, two streams on the
+            # default device would share (and double-donate) base's leaves.
+            D = len(self.devices)
+            return [
+                jax.device_put(
+                    jax.tree.map(jnp.copy, base._replace(rng=keys[s])),
+                    self.devices[s % D])
+                for s in range(S)
+            ]
+
         if S % self.mesh.size != 0:
             raise ValueError(f"num_streams={S} must be divisible by mesh "
                              f"size {self.mesh.size}")
@@ -104,7 +150,6 @@ class ParallelStreams:
             return jnp.broadcast_to(x[None], (S,) + x.shape)
 
         state = jax.tree.map(tile, base)
-        keys = jax.random.split(jax.random.PRNGKey(self.engine.cfg.seed), S)
         state = state._replace(rng=keys,
                                step=jnp.zeros((S,), jnp.int32))
         return jax.device_put(
@@ -114,9 +159,32 @@ class ParallelStreams:
                 state),
         )
 
-    def step(self, states: AdaptState, frames: Frame):
-        """frames: every leaf with leading (S, B, ...) axes."""
-        return self._step(states, frames)
+    def step(self, states, frames):
+        """Advance every stream by one frame.
+
+        Independent mode: ``states`` is the list from :meth:`init_states`;
+        ``frames`` is a list of S single-stream ``Frame``s (or one stacked
+        Frame with a leading S axis, which is sliced).  Returns (new state
+        list, list of output dicts) — all device-resident, dispatched
+        asynchronously across the mesh.
+
+        share_weights mode: stacked state/Frame with leading (S, B, ...)
+        axes, as one SPMD program."""
+        if self.share_weights:
+            return self._step(states, frames)
+
+        if isinstance(frames, Frame):    # stacked (S, B, ...) Frame
+            S = len(states)
+            frames = [jax.tree.map(lambda x: x[s], frames)
+                      for s in range(S)]
+        new_states, outs = [], []
+        D = len(self.devices)
+        for s, (state, frame) in enumerate(zip(states, frames)):
+            frame = jax.device_put(frame, self.devices[s % D])
+            st, out = self.engine.step(state, frame)
+            new_states.append(st)
+            outs.append(out)
+        return new_states, outs
 
 
 def stack_frames(items: list[dict], keypoint_source: str = "gt") -> Frame:
@@ -130,3 +198,10 @@ def stack_frames(items: list[dict], keypoint_source: str = "gt") -> Frame:
         gender=jnp.asarray(
             np.stack([[np.int32(it["gender"])] for it in items])),
     )
+
+
+def stack_outs(outs: list[dict]) -> dict:
+    """Materialize a list of per-stream output dicts (independent mode)
+    into one dict of host arrays with a leading S axis."""
+    return {k: np.stack([np.asarray(o[k]) for o in outs])
+            for k in outs[0]}

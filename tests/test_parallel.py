@@ -7,7 +7,12 @@ from dynaboa_tpu.config import AdaptConfig
 from dynaboa_tpu.engine import BilevelEngine, synthetic_store
 from dynaboa_tpu.losses import synthetic_gmm_prior
 from dynaboa_tpu.models.hmr import HMR, init_hmr_params
-from dynaboa_tpu.parallel import ParallelStreams, make_mesh, stack_frames
+from dynaboa_tpu.parallel import (
+    ParallelStreams,
+    make_mesh,
+    stack_frames,
+    stack_outs,
+)
 from tests.test_engine import make_smpls, IMG, WIDTH
 
 
@@ -24,7 +29,10 @@ def par_setup():
     eng = BilevelEngine(cfg, model, synthetic_gmm_prior(seed=4), make_smpls(),
                         synthetic_store(seed=6, img_res=IMG,
                                         feat_dim=8 * WIDTH * 4))
-    mesh = make_mesh(4)
+    # 2 devices: executables are device-bound, so every extra device is a
+    # fresh compile on the (persistent-cache-hostile) CPU backend; two
+    # devices prove the dispatch mechanics at half the compile bill
+    mesh = make_mesh(2)
     par = ParallelStreams(eng, mesh)
     return par, params
 
@@ -42,22 +50,28 @@ def make_items(rng, n):
 
 
 class TestParallelStreams:
-    def test_eight_streams_on_four_devices(self, par_setup, rng):
+    def test_eight_streams_on_two_devices(self, par_setup, rng):
         par, params = par_setup
-        S = 8  # 2 streams per device (vmap within shard)
+        S = 8  # 4 streams per device (time-sliced dispatches within a device)
         states = par.init_states(params, S, img_res=IMG)
+        assert len(states) == S
+        # round-robin device placement
+        assert {jax.tree.leaves(st.params)[0].devices().pop()
+                for st in states} == set(par.devices)
         frames = stack_frames(make_items(rng, S))
-        new_states, out = par.step(states, frames)
-        jax.block_until_ready(new_states.params)
+        new_states, outs = par.step(states, frames)
+        out = stack_outs(outs)
 
-        assert np.asarray(new_states.step).shape == (S,)
-        assert (np.asarray(new_states.step) == 1).all()
+        assert all(int(np.asarray(st.step)) == 1 for st in new_states)
         assert out["mpjpe"].shape == (S, 1)
-        assert np.isfinite(np.asarray(out["mpjpe"])).all()
+        assert np.isfinite(out["mpjpe"]).all()
 
-        # different frames -> different per-stream adapted params
-        leaf = jax.tree.leaves(new_states.params)[0]
-        assert not np.allclose(np.asarray(leaf[0]), np.asarray(leaf[1]))
+        # different frames -> different per-stream adapted params;
+        # each stream's state stays committed to its own device
+        l0 = jax.tree.leaves(new_states[0].params)[0]
+        l1 = jax.tree.leaves(new_states[1].params)[0]
+        assert not np.allclose(np.asarray(l0), np.asarray(l1))
+        assert l0.devices() != l1.devices()
 
     def test_streams_independent_of_mesh_layout(self, par_setup, rng):
         """Stream 0 must compute the same result regardless of which other
@@ -65,18 +79,37 @@ class TestParallelStreams:
         par, params = par_setup
         items = make_items(rng, 8)
         s8 = par.init_states(params, 8, img_res=IMG)
-        out8 = par.step(s8, stack_frames(items))[1]
+        out8 = stack_outs(par.step(s8, stack_frames(items))[1])
 
         items2 = items[:4] + make_items(rng, 4)  # perturb the tail streams
         s8b = par.init_states(params, 8, img_res=IMG)
-        out8b = par.step(s8b, stack_frames(items2))[1]
-        np.testing.assert_allclose(np.asarray(out8["mpjpe"][:4]),
-                                   np.asarray(out8b["mpjpe"][:4]), atol=1e-5)
+        out8b = stack_outs(par.step(s8b, stack_frames(items2))[1])
+        np.testing.assert_allclose(out8["mpjpe"][:4], out8b["mpjpe"][:4],
+                                   atol=1e-5)
 
-    def test_rejects_indivisible_stream_count(self, par_setup):
+    def test_matches_bare_engine_exactly(self, par_setup, rng):
+        """Independent mode dispatches the engine's own program — stream 0
+        on device 0 must be BIT-identical to a bare sequential run."""
         par, params = par_setup
-        with pytest.raises(ValueError):
-            par.init_states(params, 6, img_res=IMG)
+        eng = par.engine
+        items = make_items(rng, 4)
+        states = par.init_states(params, 4, img_res=IMG)
+        rng0 = np.asarray(states[0].rng)    # snapshot before donation
+        outs = par.step(states, stack_frames(items))[1]
+
+        from dynaboa_tpu.engine import Frame
+
+        it = items[0]
+        st = eng.init_state(params, img_res=IMG)._replace(
+            rng=jnp.asarray(rng0))
+        _, out = eng.step(st, Frame(
+            image=jnp.asarray(it["image"][None]),
+            j2d=jnp.asarray(it["smpl_j2d"][None]),
+            pose=jnp.asarray(it["pose"][None]),
+            betas=jnp.asarray(it["betas"][None]),
+            gender=jnp.asarray([it["gender"]], jnp.int32)))
+        np.testing.assert_array_equal(np.asarray(out["mpjpe"]),
+                                      np.asarray(outs[0]["mpjpe"]))
 
 
 class TestSharedWeights:
@@ -103,10 +136,17 @@ class TestSharedWeights:
                          - np.asarray(jax.tree.leaves(params)[0])).max())
         assert d > 0
 
+    def test_rejects_indivisible_stream_count(self, par_setup):
+        par_base, params = par_setup
+        par = ParallelStreams(par_base.engine, par_base.mesh,
+                              share_weights=True)
+        with pytest.raises(ValueError):
+            par.init_states(params, 5, img_res=IMG)
+
 
 class TestFullProgramParallel:
     """The FULL flagship program — dynamic BOA while_loop + teacher EMA +
-    motion + mixtrain + retrieval — under shard_map (what
+    motion + mixtrain + retrieval — dispatched per device (what
     __graft_entry__.dryrun_multichip runs), checked against sequential
     single-stream execution."""
 
@@ -125,22 +165,25 @@ class TestFullProgramParallel:
                             make_smpls(),
                             synthetic_store(seed=6, img_res=IMG,
                                             feat_dim=8 * WIDTH * 4))
-        mesh = make_mesh(4)
+        mesh = make_mesh(2)
         par = ParallelStreams(eng, mesh)
-        S, n_frames = 4, 2
+        S, n_frames = 2, 2
         per_stream = [make_items(rng, n_frames) for _ in range(S)]
 
         # mesh run: one step call per frame index, all streams at once
         states = par.init_states(params, S, img_res=IMG)
-        keys = np.asarray(states.rng)   # per-stream rng (snapshot pre-donate)
+        keys = [np.asarray(st.rng) for st in states]  # snapshot pre-donate
         par_out = []
         for t in range(n_frames):
-            states, out = par.step(
+            states, outs = par.step(
                 states, stack_frames([per_stream[s][t] for s in range(S)]))
-            par_out.append(jax.tree.map(np.asarray, out))
-        par_params = jax.tree.map(np.asarray, states.params)
+            par_out.append(stack_outs(outs))
+        par_params = [jax.tree.map(np.asarray, st.params) for st in states]
 
-        # sequential runs: same per-stream rng, same frames
+        # sequential runs: same per-stream rng, same frames.  The per-device
+        # dispatch reuses the engine's own executable, so stream results on
+        # device 0 are bit-identical to sequential; other devices may sit on
+        # different hosts/compilations, so allow the Adam drift bound.
         n_updates = n_frames * (1 + cfg.optim_steps)
         tol = 4 * n_updates * cfg.lr
         for s in range(S):
@@ -164,6 +207,6 @@ class TestFullProgramParallel:
             # near-zero-grad coords under different XLA fusions, see
             # tests/test_engine.py TestChunkedScan)
             for a, b in zip(jax.tree.leaves(st.params),
-                            jax.tree.leaves(par_params)):
-                d = np.abs(np.asarray(a) - np.asarray(b)[s]).max()
+                            jax.tree.leaves(par_params[s])):
+                d = np.abs(np.asarray(a) - np.asarray(b)).max()
                 assert d < tol, (s, d)
