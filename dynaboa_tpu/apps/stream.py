@@ -10,10 +10,13 @@ frame counter, exactly like the reference's ``reload()`` which leaves
 ``self.history`` untouched (dynaboa_webcam.py:184-195); frames with no
 detected person pass through unadapted (dynaboa_webcam.py:404,420-424).
 
-Pipelining: the adaptation step for frame t+1 is dispatched BEFORE frame t's
-vertices are fetched, so the TPU adapts on t+1 while the host rasterizes t —
-rendering lags the stream by exactly one frame.  A per-frame blocking fetch
-was the measured ~13 fps ceiling on tunneled TPUs (docs/PERF.md).
+Pipelining (headless mode): adaptation steps dispatch ahead of rendering by
+two frames; each record's verts fetch starts immediately in a thread pool
+(riding out the step's compute tail and the ~31 ms tunnel round trip), and
+a render/write worker thread consumes records in order.  A per-frame
+blocking fetch was the measured ~13 fps ceiling on tunneled TPUs
+(docs/PERF.md).  Display mode stays synchronous with one frame of lag
+(cv2.imshow + keys need the main thread).
 
 Keypoint sources: --kp_source openpose (live bindings), or precomputed npz
 (--kp_file) so the path runs without native pose dependencies.
@@ -74,7 +77,11 @@ def keypoints_to_bbox(kp2d: np.ndarray, scale_factor: float = 1.2):
 def keypoints_to_frame(image_rgb: np.ndarray, kp2d: np.ndarray,
                        scale_factor: float = 1.2, fused: bool = False):
     """Crop + normalize the frame around the keypoint bbox; ``fused`` runs
-    the crop/resize/normalize on device (runner's fused gather graph)."""
+    the crop/resize/normalize on device (runner's fused gather graph).
+
+    ``image_rgb`` may be uint8 — in fused mode it is uploaded as-is (4x
+    fewer bytes over the tunnel) and cast to float on device, saving the
+    host-side full-frame astype (~3 ms/frame on the 1-core stream host)."""
     from dynaboa_tpu.data.streams import crop_and_normalize
     from dynaboa_tpu.ops import image as I
 
@@ -87,42 +94,59 @@ def keypoints_to_frame(image_rgb: np.ndarray, kp2d: np.ndarray,
     if fused:
         from dynaboa_tpu.engine.runner import _fused_preprocess
 
-        img = _fused_preprocess(image_rgb, center, scale, 224)
+        img = _fused_preprocess(np.ascontiguousarray(image_rgb),
+                                center, scale, 224)
     else:
+        if image_rgb.dtype != np.float32:
+            image_rgb = image_rgb.astype(np.float32)
         img = crop_and_normalize(image_rgb, center, scale)
     return img, j2d49, bbox
 
 
 class AdaptPipeline:
-    """One-frame-lag adaptation pipeline over an ordered frame stream.
+    """Depth-N-lag adaptation pipeline over an ordered frame stream.
 
     ``submit`` dispatches frame t's step asynchronously and returns the
-    COMPLETED record of frame t-1 (or the pass-through record, for frames
-    with no detected person — those ride the same queue so output order is
-    preserved).  ``drain`` returns the last in-flight record."""
+    COMPLETED record of frame t-depth (or the pass-through record, for
+    frames with no detected person — those ride the same queue so output
+    order is preserved).  ``drain`` pops remaining records one at a time
+    (None when empty).
 
-    def __init__(self, engine, state):
+    ``fetch_fn`` (optional) transforms each output record at submit time —
+    the stream app passes a thread-pool fetch so the blocking device->host
+    read of frame t's verts starts IMMEDIATELY (in a pool thread, riding
+    out the step's compute tail + the ~31 ms tunnel round trip) while the
+    main thread moves on; with depth 2 the fetch has two frame periods to
+    complete before the renderer needs it.  No copy_to_host_async here: on
+    the tunneled TPU it blocks the calling thread until the step's compute
+    completes (~19 ms measured)."""
+
+    def __init__(self, engine, state, depth: int = 1, fetch_fn=None):
+        import collections
+
         self.engine = engine
         self.state = state
-        self._pending = None
+        self.depth = depth
+        self.fetch_fn = fetch_fn
+        self._pending = collections.deque()
+
+    def _push(self, rec):
+        self._pending.append(rec)
+        if len(self._pending) > self.depth:
+            return self._pending.popleft()
+        return None
 
     def submit(self, frame, ctx):
         self.state, out = self.engine.step(self.state, frame)
-        for k in ("verts", "cam"):
-            try:
-                out[k].copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass
-        prev, self._pending = self._pending, (out, ctx)
-        return prev
+        if self.fetch_fn is not None:
+            out = self.fetch_fn(out)
+        return self._push((out, ctx))
 
     def submit_passthrough(self, ctx):
-        prev, self._pending = self._pending, (None, ctx)
-        return prev
+        return self._push((None, ctx))
 
     def drain(self):
-        prev, self._pending = self._pending, None
-        return prev
+        return self._pending.popleft() if self._pending else None
 
     def reset(self, engine_params):
         """The divergence remedy (reference reload():184-195): model,
@@ -165,8 +189,6 @@ def main(argv=None):
                 num_vertices=256) if getattr(args, "tiny", 0) else {}
     system = build_system(cfg, paths, compute_metrics=False, **tiny)
     fused = bool(getattr(args, "fused_preprocess", 0))
-    pipeline = AdaptPipeline(system.engine,
-                             system.engine.init_state(system.params))
 
     if args.kp_source == "openpose":
         provider = OpenPoseProvider(args.openpose_models)
@@ -198,7 +220,13 @@ def main(argv=None):
         if out is None:
             out_img = frame_bgr          # nobody detected: pass through
         else:
-            verts = np.asarray(out["verts"][0])
+            if hasattr(out, "result"):   # fetch-pool future (headless mode)
+                out = out.result()
+            # materialize the FULL arrays and index on the host —
+            # device-slicing out["verts"][0] here would create a new array
+            # and pay a fresh blocking transfer (~79 ms measured on the
+            # tunneled TPU)
+            verts = np.asarray(out["verts"])[0]
             cam = np.asarray(out["cam"])
             h, w = frame_bgr.shape[:2]
             orig_cam = convert_crop_cam_to_orig_img(
@@ -224,12 +252,66 @@ def main(argv=None):
     frame_idx = 0
     import jax
 
+    # Rendering/writing runs on a worker thread in headless mode, so the
+    # verts fetch + rasterize + mp4 encode of frame t-1 overlaps the
+    # decode/preprocess/dispatch of frame t (the 'q'/'r' keys need
+    # cv2.imshow on the main thread, so display mode stays synchronous).
+    emit_q = None
+    fetch_pool = None
+    fetch_fn = None
+    if not args.display:
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        emit_q = queue.Queue(maxsize=8)
+        # Each blocking device->host fetch costs a full tunnel round trip
+        # (~31 ms measured) regardless of size — latency, not bandwidth —
+        # so in-flight fetches in pool threads overlap the device compute
+        # and each other.  The pool fetches out of order; emit_q keeps the
+        # render/write order.
+        fetch_pool = ThreadPoolExecutor(max_workers=4)
+
+        def fetch(out):
+            return {"verts": np.asarray(out["verts"]),
+                    "cam": np.asarray(out["cam"])}
+
+        fetch_fn = lambda out: fetch_pool.submit(fetch, out)
+
+        def emit_worker():
+            while True:
+                rec = emit_q.get()
+                if rec is None:
+                    return
+                emit(rec)
+
+        emit_thread = threading.Thread(target=emit_worker, daemon=True)
+        emit_thread.start()
+
+    # depth 2 in headless mode: rendering lags the stream by two frames,
+    # which gives each record's fetch two frame periods (~compute tail +
+    # round trip) to finish before the renderer blocks on it
+    pipeline = AdaptPipeline(system.engine,
+                             system.engine.init_state(system.params),
+                             depth=1 if args.display else 2,
+                             fetch_fn=fetch_fn)
+
+    def deliver(rec) -> bool:
+        if emit_q is not None:
+            emit_q.put(rec)
+            return True
+        return emit(rec)
+
+    import time
+
+    warmup, t_steady = 3, None
+
     while True:
         ok, frame_bgr = read_next()
         if not ok or frame_bgr is None:
             break
-        frame_rgb = frame_bgr[:, :, ::-1].astype(np.float32)
-        kp2d = provider.estimate(frame_bgr)
+        frame_rgb = frame_bgr[:, :, ::-1]   # uint8 view; cast happens
+        kp2d = provider.estimate(frame_bgr)  # on device (fused) or in prep
 
         if kp2d is None:
             done = pipeline.submit_passthrough({"frame_bgr": frame_bgr})
@@ -241,15 +323,24 @@ def main(argv=None):
                       j2d=j2d49[None], pose=zeros72,
                       betas=zeros10, gender=gender)
             done = pipeline.submit(f, {"frame_bgr": frame_bgr, "bbox": bbox})
-        if done is not None and not emit(done):
+        if done is not None and not deliver(done):
             frame_idx += 1
             break
         frame_idx += 1
+        if frame_idx == warmup:      # compile/cache-load happened above here
+            t_steady = time.perf_counter()
 
-    tail = pipeline.drain()
-    if tail is not None:
-        emit(tail)
+    while (tail := pipeline.drain()) is not None:
+        deliver(tail)
+    if emit_q is not None:
+        emit_q.put(None)
+        emit_thread.join()
+        fetch_pool.shutdown()
 
+    if t_steady is not None and frame_idx > warmup:
+        fps = (frame_idx - warmup) / (time.perf_counter() - t_steady)
+        print(f"steady: {fps:.2f} fps over {frame_idx - warmup} frames "
+              f"(excl. {warmup} warmup)")
     if writer is not None:
         writer.release()
     print(f"processed {frame_idx} frames")

@@ -51,7 +51,8 @@ def load():
     i32p = ctypes.POINTER(ctypes.c_int32)
 
     lib.render_mesh.argtypes = [f32p, ctypes.c_int, i32p, ctypes.c_int,
-                                f32p, ctypes.c_int, ctypes.c_int, f32p, u8p]
+                                f32p, ctypes.c_int, ctypes.c_int, f32p, u8p,
+                                ctypes.c_int]
     lib.render_mesh.restype = ctypes.c_int
     lib.composite_over.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
     lib.composite_over.restype = ctypes.c_int
@@ -91,9 +92,12 @@ def _i32(a: np.ndarray):
 
 
 def render_mesh(verts: np.ndarray, faces: np.ndarray, cam, width: int,
-                height: int, color=(1.0, 1.0, 0.9)) -> np.ndarray:
+                height: int, color=(1.0, 1.0, 0.9),
+                cull: bool = False) -> np.ndarray:
     """Rasterize (verts, faces) under the weak-perspective cam
-    (sx, sy, tx, ty) -> (H, W, 4) uint8 RGBA."""
+    (sx, sy, tx, ty) -> (H, W, 4) uint8 RGBA.  ``cull`` skips camera-averted
+    faces — sound for closed outward-CCW meshes (SMPL), halves raster work,
+    and matches pyrender's default; leave False for arbitrary open meshes."""
     lib = load()
     verts = np.ascontiguousarray(verts, np.float32)
     faces = np.ascontiguousarray(faces, np.int32)
@@ -102,7 +106,7 @@ def render_mesh(verts: np.ndarray, faces: np.ndarray, cam, width: int,
     out = np.zeros((height, width, 4), np.uint8)
     rc = lib.render_mesh(_fp(verts), verts.shape[0], _i32(faces),
                          faces.shape[0], _fp(cam), width, height,
-                         _fp(color), _u8(out))
+                         _fp(color), _u8(out), int(cull))
     assert rc == 0
     return out
 

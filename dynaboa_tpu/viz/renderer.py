@@ -103,16 +103,22 @@ class Renderer:
                color=(1.0, 1.0, 0.9), faces: np.ndarray | None = None,
                mesh_filename: str | None = None) -> np.ndarray:
         """Overlay the mesh on img (H, W, 3 uint8); cam = (sx, sy, tx, ty)."""
+        # cull only for the renderer's own closed SMPL body mesh; caller-
+        # supplied faces may be open/arbitrarily wound -> two-sided
+        cull = faces is None
         faces = self.faces if faces is None else np.asarray(faces, np.int32)
         h, w = img.shape[:2]
         if mesh_filename:
             save_obj(mesh_filename, verts, faces)
         if self.use_native:
             rgba = native_lib.render_mesh(verts, faces, np.asarray(cam),
-                                          w, h, color)
-        else:
-            rgba = _render_numpy(np.asarray(verts, np.float32), faces,
-                                 np.asarray(cam, np.float32), w, h, color)
+                                          w, h, color, cull=cull)
+            # in-place C compositing beats the np.where temporaries
+            # (~3 ms/frame at 320x240 on the streaming path)
+            return native_lib.composite_over(
+                rgba, np.ascontiguousarray(img, np.uint8).copy())
+        rgba = _render_numpy(np.asarray(verts, np.float32), faces,
+                             np.asarray(cam, np.float32), w, h, color)
         out = np.ascontiguousarray(img, np.uint8).copy()
         mask = rgba[:, :, 3:] > 0
         out = np.where(mask, rgba[:, :, :3], out)

@@ -47,11 +47,14 @@ extern "C" {
 //   cam:    [sx, sy, tx, ty] weak-perspective camera
 //   color:  [r, g, b] in [0, 1]
 //   rgba:   (H, W, 4) uint8 output, alpha = coverage
+//   cull:   nonzero = skip camera-averted faces (closed outward-CCW meshes
+//           like SMPL: halves raster work, matches pyrender's default
+//           culling); zero = two-sided (arbitrary open meshes)
 //
 // Returns 0 on success.
 int render_mesh(const float* verts, int nv, const int* faces, int nf,
                 const float* cam, int width, int height, const float* color,
-                uint8_t* rgba) {
+                uint8_t* rgba, int cull) {
   const float sx = cam[0], sy = cam[1], tx = cam[2], ty = cam[3];
 
   // 180-degree rotation about x (render_demo.py:90-91): (x, -y, -z).
@@ -91,8 +94,14 @@ int render_mesh(const float* verts, int nv, const int* faces, int nf,
     Vec3 e1 = {v[i1].x - v[i0].x, v[i1].y - v[i0].y, v[i1].z - v[i0].z};
     Vec3 e2 = {v[i2].x - v[i0].x, v[i2].y - v[i0].y, v[i2].z - v[i0].z};
     Vec3 n = normalize(cross(e1, e2));
-    // flip normals facing away from the camera (two-sided shading)
-    if (n.z < 0.f) n = {-n.x, -n.y, -n.z};
+    // Backface handling.  Culling is sound for closed meshes (camera-
+    // averted faces are always occluded) and the weak-perspective
+    // projection has positive scales, so world-space facing survives
+    // projection.  Two-sided mode flips averted normals instead.
+    if (n.z <= 0.f) {
+      if (cull) continue;
+      n = {-n.x, -n.y, -n.z};
+    }
     float intensity = ambient;
     for (const auto& L : lights)
       intensity += light_I * std::max(0.f, dot(n, L));
@@ -116,15 +125,24 @@ int render_mesh(const float* verts, int nv, const int* faces, int nf,
     uint8_t g8 = static_cast<uint8_t>(std::min(255.f, color[1] * intensity * 255.f));
     uint8_t b8 = static_cast<uint8_t>(std::min(255.f, color[2] * intensity * 255.f));
 
-    for (int yi = static_cast<int>(miny); yi <= static_cast<int>(maxy); ++yi) {
-      for (int xi = static_cast<int>(minx); xi <= static_cast<int>(maxx); ++xi) {
-        float pxf = xi + 0.5f, pyf = yi + 0.5f;
-        float w0 = ((y1 - y2) * (pxf - x2) + (x2 - x1) * (pyf - y2)) * inv;
-        float w1 = ((y2 - y0) * (pxf - x2) + (x0 - x2) * (pyf - y2)) * inv;
+    // Incremental barycentric evaluation: the edge functions are affine in
+    // pixel coordinates, so step them by constants across the row instead
+    // of re-evaluating 2 muls/edge per pixel.
+    const float a0 = (y1 - y2) * inv, b0 = (x2 - x1) * inv;
+    const float a1 = (y2 - y0) * inv, b1 = (x0 - x2) * inv;
+    const float z0 = pz[i0], dz1 = pz[i1] - pz[i0], dz2 = pz[i2] - pz[i0];
+    const int x_lo = static_cast<int>(minx), x_hi = static_cast<int>(maxx);
+    const int y_lo = static_cast<int>(miny), y_hi = static_cast<int>(maxy);
+    float w0_row = a0 * (x_lo + 0.5f - x2) + b0 * (y_lo + 0.5f - y2);
+    float w1_row = a1 * (x_lo + 0.5f - x2) + b1 * (y_lo + 0.5f - y2);
+    for (int yi = y_lo; yi <= y_hi; ++yi, w0_row += b0, w1_row += b1) {
+      float w0 = w0_row, w1 = w1_row;
+      size_t row = static_cast<size_t>(yi) * width;
+      for (int xi = x_lo; xi <= x_hi; ++xi, w0 += a0, w1 += a1) {
         float w2 = 1.f - w0 - w1;
         if (w0 < 0.f || w1 < 0.f || w2 < 0.f) continue;
-        float z = w0 * pz[i0] + w1 * pz[i1] + w2 * pz[i2];
-        size_t idx = static_cast<size_t>(yi) * width + xi;
+        float z = z0 + w1 * dz1 + w2 * dz2;
+        size_t idx = row + xi;
         if (z <= zbuf[idx]) continue;
         zbuf[idx] = z;
         uint8_t* p = rgba + 4 * idx;
