@@ -71,9 +71,16 @@ class AdaptState(NamedTuple):
 class BilevelEngine:
     """Builds and jits the per-frame adaptation step.
 
-    Heavy static data (HMR apply fn, SMPL bodies, GMM prior, retrieval store)
-    is closed over; the jitted callable is ``(AdaptState, Frame) ->
-    (AdaptState, outputs-dict)``.
+    Heavy static data (SMPL bodies, GMM prior, retrieval store) enters the
+    jitted programs as ARGUMENTS, not closure constants: baked-in constants
+    made the HLO ~170 MB (98% dense literals — exemplar images, 3x SMPL
+    posedirs, regressors) and the serialized executable ~450 MB, which cost
+    minutes per compile-cache load on this host.  `_assets` holds the
+    device-resident pytree; `_inject_assets` swaps the arrays into
+    `self.store/self.smpls/self.prior` for the duration of a trace, so the
+    program body reads tracers while the code keeps its natural
+    attribute-based form.  Static fields (`SMPLModel.parents`, `faces`)
+    stay python-side.
     """
 
     def __init__(
@@ -110,10 +117,72 @@ class BilevelEngine:
         # the new state back and must not reuse the old one (the runner,
         # bench and apps are all linear in state; donation is a no-op on the
         # CPU test backend).
-        self._jit_step = jax.jit(self._step, donate_argnums=(0,))
-        self.predict = jax.jit(self._predict)
-        self._jit_chunk = jax.jit(self._run_chunk, donate_argnums=(0,))
+        self._assets = self._extract_assets()
+        self._jit_step = jax.jit(self._step_with_assets, donate_argnums=(0,))
+        self._jit_predict = jax.jit(self._predict_with_assets)
+        self.predict = lambda params, image: self._jit_predict(
+            params, image, self._assets)
+        self._jit_chunk = jax.jit(self._chunk_with_assets, donate_argnums=(0,))
         self._record_dynamic = cfg.record_dynamic and compute_metrics
+
+    # -- asset plumbing (big arrays as jit args, not baked constants) -------
+
+    _SMPL_ARRAY_FIELDS = ("v_template", "shapedirs", "posedirs",
+                          "J_regressor", "lbs_weights", "J_regressor_extra",
+                          "vertex_joint_ids")
+
+    def _extract_assets(self):
+        """Device-resident pytree of every large data asset the step
+        programs read.  Uploaded once here; passed to every jit call."""
+        def arrs(m):
+            return {k: jnp.asarray(getattr(m, k))
+                    for k in self._SMPL_ARRAY_FIELDS}
+
+        return {
+            "smpls": {
+                "neutral": arrs(self.smpls.neutral),
+                "male": arrs(self.smpls.male),
+                "female": arrs(self.smpls.female),
+                "J_regressor_h36m": jnp.asarray(self.smpls.J_regressor_h36m),
+            },
+            "store": self.store,
+            "prior": self.prior,
+        }
+
+    def _inject_assets(self, assets):
+        """Context that swaps the (traced) asset arrays into the attributes
+        the program body reads; static fields (parents, faces) survive."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            old = (self.store, self.smpls, self.prior)
+            g = assets["smpls"]
+            try:
+                self.store = assets["store"]
+                self.smpls = GenderedSMPL(
+                    neutral=old[1].neutral._replace(**g["neutral"]),
+                    male=old[1].male._replace(**g["male"]),
+                    female=old[1].female._replace(**g["female"]),
+                    J_regressor_h36m=g["J_regressor_h36m"])
+                self.prior = assets["prior"]
+                yield
+            finally:
+                self.store, self.smpls, self.prior = old
+
+        return ctx()
+
+    def _step_with_assets(self, state, frame, thr, cap, assets):
+        with self._inject_assets(assets):
+            return self._step(state, frame, thr, cap)
+
+    def _chunk_with_assets(self, state, frames, thr, cap, assets):
+        with self._inject_assets(assets):
+            return self._run_chunk(state, frames, thr, cap)
+
+    def _predict_with_assets(self, params, image, assets):
+        with self._inject_assets(assets):
+            return self._predict(params, image)
 
     def step(self, state: AdaptState, frame: Frame,
              cos_sim_threshold=None, extra_cap=None):
@@ -125,7 +194,7 @@ class BilevelEngine:
             cos_sim_threshold)
         cap = (jnp.int32(self.cfg.optim_steps) if extra_cap is None
                else jnp.int32(extra_cap))
-        return self._jit_step(state, frame, thr, cap)
+        return self._jit_step(state, frame, thr, cap, self._assets)
 
     def run_chunk(self, state: AdaptState, frames: Frame,
                   cos_sim_threshold=None, extra_cap=None):
@@ -133,7 +202,7 @@ class BilevelEngine:
             cos_sim_threshold)
         cap = (jnp.int32(self.cfg.optim_steps) if extra_cap is None
                else jnp.int32(extra_cap))
-        return self._jit_chunk(state, frames, thr, cap)
+        return self._jit_chunk(state, frames, thr, cap, self._assets)
 
     def _run_chunk(self, state: AdaptState, frames: Frame, thr, cap):
         """Adapt over a chunk of frames with ``lax.scan`` — one dispatch for
