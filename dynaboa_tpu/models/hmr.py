@@ -235,11 +235,19 @@ def hmr(mean_params_path: str | None = None, **kwargs) -> HMR:
 
 
 def init_hmr_params(model: HMR, rng, input_shape=(1, 224, 224, 3)):
-    """Initialize the parameter pytree."""
+    """Initialize the parameter pytree.
+
+    Init runs as ONE jitted program: eager flax init is hundreds of small
+    ops, each costing a dispatch round trip on a tunneled TPU (~2 min
+    measured for ResNet-50).  A single compiled program is one dispatch,
+    and the persistent compile cache makes repeat processes pay only the
+    trace (host CPU init was tried and is worse on 1-core hosts: XLA:CPU
+    recompiles every process because its AOT cache is machine-pinned)."""
     import jax
 
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32))
-    return variables["params"]
+    init = jax.jit(
+        lambda r: model.init(r, jnp.zeros(input_shape, jnp.float32)))
+    return init(rng)["params"]
 
 
 # ---------------------------------------------------------------------------
