@@ -113,7 +113,14 @@ class HMR(nn.Module):
     n_iter: int = 3
     width: int = 64          # base channel count (64 = real ResNet-50)
     regressor_dim: int = 1024
-    scan_blocks: bool = True  # lax.scan over each stage's tail blocks
+    # lax.scan over each stage's tail blocks.  Default OFF: unrolled blocks
+    # fuse across block boundaries and measured 78.1 vs 60.9 streaming fps
+    # (worst-case 16.0 vs 13.6) on the v5e, AND compile faster now that
+    # data assets ride as jit arguments (scanning existed to bound compile
+    # time when 450 MB of baked constants made every variant minutes-long —
+    # docs/PERF.md).  scan_blocks=True remains supported (and tested) for
+    # compile-constrained setups.
+    scan_blocks: bool = False
     compute_dtype: str = "float32"  # "bfloat16" runs backbone convs in bf16
     # SMPL mean parameters as plain tuples (hashable module constants; the
     # reference keeps them as buffers — hmr.py:100-106).
@@ -254,7 +261,8 @@ def init_hmr_params(model: HMR, rng, input_shape=(1, 224, 224, 3)):
 # torch checkpoint conversion (reference base_adaptor.py:112-127 load path)
 # ---------------------------------------------------------------------------
 
-def convert_torch_state_dict(state: dict[str, Any], scan_blocks: bool = True):
+def convert_torch_state_dict(state: dict[str, Any],
+                             scan_blocks: bool = False):
     """Map a DynaBOA/SPIN torch HMR state_dict onto the flax param pytree.
 
     Handles the reference's checkpoint conventions: optional ``module.``
@@ -355,7 +363,7 @@ def load_basemodel(path: str):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model", ckpt)
     state = {k.replace("module.", ""): v for k, v in state.items()}
-    params, mean = convert_torch_state_dict(state, scan_blocks=True)
+    params, mean = convert_torch_state_dict(state, scan_blocks=False)
     layers = tuple(
         1 + max(int(k.split(".")[1]) for k in state
                 if k.startswith(f"layer{i}."))

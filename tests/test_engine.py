@@ -263,3 +263,36 @@ class TestChunkedScan:
         total = sum(a.size for a in jax.tree.leaves(s_scan.params))
         # the Adam sign-flip noise must stay confined to isolated coords
         assert n_noisy <= max(8, total // 10_000), (n_noisy, total)
+
+
+class TestNoBakedConstants:
+    def test_step_hlo_has_no_large_literals(self, engine_capped, rng):
+        """The data assets (exemplar bank, SMPL tensors, GMM) must enter the
+        step program as ARGUMENTS, not baked constants: embedded literals
+        made the HLO ~170 MB and the serialized executable ~450 MB, costing
+        minutes per compile-cache load (docs/PERF.md 'Compile times').
+        Guard the invariant: no dense literal in the lowered step may exceed
+        1 KB of text (the synthetic store bank alone would be ~4 MB)."""
+        import re
+
+        import jax.numpy as jnp
+
+        eng, params = engine_capped
+        state = eng.init_state(params, img_res=IMG)
+        frame = Frame(
+            image=jnp.asarray(rng.normal(size=(1, IMG, IMG, 3)),
+                              jnp.float32),
+            j2d=jnp.concatenate([
+                jnp.asarray(rng.uniform(-1, 1, (1, 49, 2)), jnp.float32),
+                jnp.ones((1, 49, 1))], -1),
+            pose=jnp.zeros((1, 72)),
+            betas=jnp.zeros((1, 10)),
+            gender=jnp.zeros((1,), jnp.int32))
+        low = jax.jit(eng._step_with_assets, donate_argnums=(0,)).lower(
+            state, frame, jnp.float32(-1.0), jnp.int32(2), eng._assets)
+        txt = low.as_text()
+        big = re.findall(r"dense<[^>]{1024,}>", txt)
+        assert not big, (
+            f"{len(big)} large dense literal(s) baked into the step HLO; "
+            f"largest {max(len(b) for b in big)} chars — an asset is being "
+            "closed over instead of passed through _extract_assets")
