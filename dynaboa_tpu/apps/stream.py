@@ -148,6 +148,20 @@ class AdaptPipeline:
     def drain(self):
         return self._pending.popleft() if self._pending else None
 
+    def sync(self):
+        """Block until every in-flight record has completed — the warmup
+        barrier.  The tunnel service's FIRST execution of a freshly loaded
+        program can take minutes (observed 15-683 s for identical work);
+        without a barrier that stall lands on the first renders instead of
+        the warmup frames."""
+        for out, _ in self._pending:
+            if out is None:
+                continue
+            if hasattr(out, "result"):
+                out.result()
+            else:
+                np.asarray(out["cam"])
+
     def reset(self, engine_params):
         """The divergence remedy (reference reload():184-195): model,
         teacher and optimizer return to the pristine base weights while the
@@ -211,12 +225,17 @@ def main(argv=None):
     zeros10 = np.zeros((1, 10), np.float32)
     gender = np.zeros((1,), np.int32)
 
+    import time as _time
+
+    E = {"fetch": 0.0, "render": 0.0, "write": 0.0, "n": 0}
+
     def emit(rec) -> bool:
         """Render + write/display one completed record.  Returns False when
         the user quit."""
         nonlocal writer
         out, ctx = rec
         frame_bgr = ctx["frame_bgr"]
+        _t0 = _time.perf_counter()
         if out is None:
             out_img = frame_bgr          # nobody detected: pass through
         else:
@@ -228,17 +247,30 @@ def main(argv=None):
             # tunneled TPU)
             verts = np.asarray(out["verts"])[0]
             cam = np.asarray(out["cam"])
-            h, w = frame_bgr.shape[:2]
-            orig_cam = convert_crop_cam_to_orig_img(
-                cam, ctx["bbox"][None], w, h)[0]
-            out_img = renderer.render(frame_bgr, verts, orig_cam,
-                                      color=(205 / 255, 129 / 255, 98 / 255))
+            E["fetch"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            if np.isfinite(verts).all() and np.isfinite(cam).all():
+                h, w = frame_bgr.shape[:2]
+                orig_cam = convert_crop_cam_to_orig_img(
+                    cam, ctx["bbox"][None], w, h)[0]
+                out_img = renderer.render(
+                    frame_bgr, verts, orig_cam,
+                    color=(205 / 255, 129 / 255, 98 / 255))
+            else:
+                # diverged weights (the reference's remedy is the manual
+                # 'r' reload) — pass the frame through instead of feeding
+                # the rasterizer NaNs
+                out_img = frame_bgr
+        E["render"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         if args.out_video:
             if writer is None:
                 writer = cv2.VideoWriter(
                     args.out_video, cv2.VideoWriter_fourcc(*"mp4v"),
                     args.out_fps, (out_img.shape[1], out_img.shape[0]))
             writer.write(out_img)
+        E["write"] += _time.perf_counter() - _t0
+        E["n"] += 1
         if args.display:
             cv2.imshow("dynaboa_tpu", out_img)
             key = cv2.waitKey(1) & 0xFF
@@ -305,42 +337,78 @@ def main(argv=None):
     import time
 
     warmup, t_steady = 3, None
+    # DYNABOA_STREAM_TIMING=1 prints a per-phase main-loop breakdown at the
+    # end (ms/frame over the steady window) — the app measures itself
+    # because external replicas of this loop keep measuring differently
+    timing = os.environ.get("DYNABOA_STREAM_TIMING") == "1"
+    T = {"read": 0.0, "kp": 0.0, "prep": 0.0, "submit": 0.0, "deliver": 0.0}
 
     while True:
+        t0 = time.perf_counter()
         ok, frame_bgr = read_next()
         if not ok or frame_bgr is None:
             break
+        t1 = time.perf_counter()
         frame_rgb = frame_bgr[:, :, ::-1]   # uint8 view; cast happens
         kp2d = provider.estimate(frame_bgr)  # on device (fused) or in prep
+        t2 = time.perf_counter()
 
         if kp2d is None:
+            t3 = t2
             done = pipeline.submit_passthrough({"frame_bgr": frame_bgr})
+            t4 = time.perf_counter()
         else:
             img, j2d49, bbox = keypoints_to_frame(frame_rgb, kp2d,
                                                   fused=fused)
+            t3 = time.perf_counter()
             f = Frame(image=img[None] if fused else
                       jax.device_put(img[None]),
                       j2d=j2d49[None], pose=zeros72,
                       betas=zeros10, gender=gender)
             done = pipeline.submit(f, {"frame_bgr": frame_bgr, "bbox": bbox})
-        if done is not None and not deliver(done):
-            frame_idx += 1
-            break
+            t4 = time.perf_counter()
+        ok_continue = True
+        if done is not None:
+            ok_continue = deliver(done)
+        t5 = time.perf_counter()
+        if t_steady is not None:
+            T["read"] += t1 - t0
+            T["kp"] += t2 - t1
+            T["prep"] += t3 - t2
+            T["submit"] += t4 - t3
+            T["deliver"] += t5 - t4
         frame_idx += 1
-        if frame_idx == warmup:      # compile/cache-load happened above here
+        if not ok_continue:
+            break
+        if frame_idx == 1:
+            # warmup barrier: compile/cache-load AND the service's slow
+            # first execution all complete inside frame 0
+            pipeline.sync()
+        if frame_idx == warmup:
             t_steady = time.perf_counter()
 
+    t_tail = time.perf_counter()
     while (tail := pipeline.drain()) is not None:
         deliver(tail)
     if emit_q is not None:
         emit_q.put(None)
         emit_thread.join()
         fetch_pool.shutdown()
+    if timing:
+        print(f"tail drain+join: {time.perf_counter() - t_tail:.2f}s")
 
     if t_steady is not None and frame_idx > warmup:
-        fps = (frame_idx - warmup) / (time.perf_counter() - t_steady)
-        print(f"steady: {fps:.2f} fps over {frame_idx - warmup} frames "
+        n = frame_idx - warmup
+        fps = n / (time.perf_counter() - t_steady)
+        print(f"steady: {fps:.2f} fps over {n} frames "
               f"(excl. {warmup} warmup)")
+        if timing:
+            print("main-loop ms/frame: " +
+                  " ".join(f"{k}={1e3 * v / n:.1f}" for k, v in T.items()))
+            ne = max(E["n"], 1)
+            print("emit ms/record: " +
+                  " ".join(f"{k}={1e3 * E[k] / ne:.1f}"
+                           for k in ("fetch", "render", "write")))
     if writer is not None:
         writer.release()
     print(f"processed {frame_idx} frames")

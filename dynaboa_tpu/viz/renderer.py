@@ -44,10 +44,16 @@ def _render_numpy(verts, faces, cam, width, height, color):
               for d in ([0, -1, 1], [0, 1, 1], [1, 1, 2])]
     for f in faces:
         tri = np.stack([px[f], py[f]], 1)
+        if not np.isfinite(tri).all():
+            continue
         lo = np.maximum(np.floor(tri.min(0)).astype(int), 0)
         hi = np.minimum(np.ceil(tri.max(0)).astype(int),
                         [width - 1, height - 1])
         if (lo > hi).any():
+            continue
+        # pathology guard (same as the C rasterizer): a diverged model's
+        # exploded triangles would each rasterize the whole frame
+        if (hi[0] - lo[0]) * (hi[1] - lo[1]) > 0.25 * width * height:
             continue
         e1 = v[f[1]] - v[f[0]]
         e2 = v[f[2]] - v[f[0]]

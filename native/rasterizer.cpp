@@ -115,7 +115,18 @@ int render_mesh(const float* verts, int nv, const int* faces, int nf,
     float miny = std::max(0.f, std::floor(std::min({y0, y1, y2})));
     float maxy = std::min(static_cast<float>(height - 1),
                           std::ceil(std::max({y0, y1, y2})));
-    if (minx > maxx || miny > maxy) continue;
+    // NaN-robust validity check: with NaN coordinates `minx > maxx` is
+    // FALSE (all NaN comparisons are), so the negated form is required —
+    // otherwise int(NaN) loop bounds walk billions of pixels per triangle.
+    if (!(minx <= maxx && miny <= maxy)) continue;
+    // Pathology guard: no legitimate body-mesh triangle covers a large
+    // fraction of the screen at these resolutions.  When the model
+    // diverges (e.g. garbage input before a reset), vertices explode and
+    // each of the ~13k triangles otherwise rasterizes the whole frame —
+    // seconds per frame on a 1-core host.
+    if ((maxx - minx) * (maxy - miny) >
+        0.25f * static_cast<float>(width) * static_cast<float>(height))
+      continue;
 
     float denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2);
     if (std::fabs(denom) < 1e-12f) continue;

@@ -23,17 +23,41 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
+# A rough standing BODY_25 layout (x, y in a unit person box), so the
+# keypoint target is CONSISTENT frame to frame.  Uniformly random keypoints
+# per frame give the adaptor an unlearnable target: the model diverges, the
+# similarity gate fires every frame, and (pre-guard) exploded vertices made
+# the rasterizer scan the whole screen per triangle — benchmarking
+# divergence rather than throughput.
+_SKELETON = np.array([
+    [0.50, 0.08], [0.50, 0.22], [0.38, 0.22], [0.33, 0.38], [0.30, 0.52],
+    [0.62, 0.22], [0.67, 0.38], [0.70, 0.52], [0.50, 0.52], [0.42, 0.52],
+    [0.42, 0.72], [0.42, 0.92], [0.58, 0.52], [0.58, 0.72], [0.58, 0.92],
+    [0.47, 0.06], [0.53, 0.06], [0.44, 0.08], [0.56, 0.08], [0.60, 0.96],
+    [0.62, 0.96], [0.57, 0.94], [0.40, 0.96], [0.38, 0.96], [0.43, 0.94],
+], np.float32)
+
+
 def make_clip(path: str, n: int, w: int = 320, h: int = 240, seed: int = 0):
     import cv2
 
     rng = np.random.default_rng(seed)
     vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    # smooth mid-gray frames with a dark person-box blob: pure per-pixel
+    # noise gives the backbone garbage features, the adaptor diverges, and
+    # the bench ends up measuring divergence handling instead of throughput
+    base = np.full((h, w, 3), 128, np.uint8)
+    base[30:210, 110:210] = 90
     for _ in range(n):
-        vw.write(rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8))
+        frame = base + rng.integers(-6, 7, size=(h, w, 3)).astype(np.int16)
+        vw.write(np.clip(frame, 0, 255).astype(np.uint8))
     vw.release()
     kps = np.zeros((n, 25, 3), np.float32)
-    kps[:, :, 0] = rng.uniform(90, 230, size=(n, 25))
-    kps[:, :, 1] = rng.uniform(50, 190, size=(n, 25))
+    # person box centered in frame, gentle per-frame jitter (~real tracking)
+    box_x, box_y, box_w, box_h = 110.0, 30.0, 100.0, 180.0
+    base = np.stack([box_x + _SKELETON[:, 0] * box_w,
+                     box_y + _SKELETON[:, 1] * box_h], -1)
+    kps[:, :, :2] = base[None] + rng.normal(scale=1.5, size=(n, 25, 2))
     kps[:, :, 2] = 0.9
     return kps
 
