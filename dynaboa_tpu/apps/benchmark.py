@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--parallel_streams", type=int, default=0,
+                   help="run N independent adaptation streams over the "
+                        "device mesh (whole (seq, person) tracks per "
+                        "stream, private weights each — the scale-out "
+                        "mode; 0 = the reference's single sequential pass)")
     p.add_argument("--chunk_size", type=int, default=1,
                    help="frames per lax.scan dispatch (offline throughput)")
     p.add_argument("--window_size", type=int, default=1,
@@ -160,6 +165,18 @@ def main(argv=None):
         stream = PW3DStream(paths.dataset_npz_path, paths.pw3d_root,
                             fused_preprocess=fused)
         stream.record_order(osp.join(exppath, "seq_order.record"))
+
+    if args.parallel_streams:
+        from dynaboa_tpu.parallel import streams as P
+
+        groups = P.partition_items(stream, args.parallel_streams)
+        summary = P.run_parallel(system.engine, system.params, groups,
+                                 keypoint_source=cfg.keypoint_source)
+        with open(osp.join(exppath, "res.txt"), "w") as f:
+            f.write(f"MPJPE:{summary['mpjpe']}, "
+                    f"PAMPJPE:{summary['pampjpe']}, "
+                    f"PVE:{summary['pve']}\n")
+        return summary
 
     runner = StreamRunner(
         system.engine, exppath,

@@ -205,3 +205,110 @@ def stack_outs(outs: list[dict]) -> dict:
     into one dict of host arrays with a leading S axis."""
     return {k: np.stack([np.asarray(o[k]) for o in outs])
             for k in outs[0]}
+
+
+def partition_items(stream, n_groups: int) -> list[list[dict]]:
+    """Split a dataset stream into n independent adaptation streams.
+
+    3DPW-style streams expose ``seq_lengths``: whole (seq, person) tracks
+    are assigned round-robin (frames within a track stay ordered — the
+    track IS the temporal stream; splitting one would break the motion
+    history).  Other streams are chunked contiguously."""
+    items = (list(stream) if not hasattr(stream, "__getitem__")
+             else [stream[i] for i in range(len(stream))])
+    lengths = getattr(stream, "seq_lengths", None)
+    if lengths:
+        groups: list[list[dict]] = [[] for _ in range(n_groups)]
+        start = 0
+        for t, n in enumerate(lengths):
+            groups[t % n_groups].extend(items[start:start + n])
+            start += n
+        return [g for g in groups if g]
+    per = (len(items) + n_groups - 1) // n_groups
+    return [items[i:i + per] for i in range(0, len(items), per) if
+            items[i:i + per]]
+
+
+def run_parallel(engine, params, groups: list[list[dict]],
+                 mesh: Mesh | None = None, keypoint_source: str = "gt",
+                 log=print) -> dict:
+    """Adapt S independent streams concurrently across the mesh devices —
+    the product entry for the scale-out path (``--parallel_streams``).
+
+    Each stream carries PRIVATE weights/optimizer/history (adaptation
+    starts from the base model per stream; nothing leaks across streams —
+    unlike the reference's single pass, which carries one model across the
+    whole sequence-sorted set).  Streams of different lengths simply stop
+    dispatching when exhausted.  Per-frame metric scalars stay on device
+    until the end (one packed fetch per stream).
+
+    Returns {"mpjpe", "pampjpe", "pve", "frames", "fps",
+    "per_stream": [...]}."""
+    import time
+
+    from dynaboa_tpu.engine.runner import frame_from_item
+
+    mesh = mesh or make_mesh()
+    par = ParallelStreams(engine, mesh)
+    S = len(groups)
+    first = groups[0][0]
+    img_res = (first["image"].shape[0] if "image" in first
+               else int(first.get("out_res", 224)))
+    states = par.init_states(params, S, img_res=img_res)
+    D = len(par.devices)
+    pos = [0] * S
+    outs: list[list[dict]] = [[] for _ in range(S)]
+
+    import collections
+
+    # Per-stream prefetch of device-resident frames: frame assembly and the
+    # host->device upload are issued a few frames ahead (device_put is
+    # async), so per-round host work is mostly just the dispatch itself.
+    PREFETCH = 3
+    ready: list[collections.deque] = [collections.deque() for _ in range(S)]
+
+    def fill(s):
+        while (len(ready[s]) < PREFETCH and
+               pos[s] + len(ready[s]) < len(groups[s])):
+            it = groups[s][pos[s] + len(ready[s])]
+            ready[s].append(jax.device_put(
+                frame_from_item(it, keypoint_source), par.devices[s % D]))
+
+    t0 = time.perf_counter()
+    first_round = True
+    alive = True
+    while alive:
+        alive = False
+        for s in range(S):
+            fill(s)
+            if not ready[s]:
+                continue
+            alive = True
+            frame = ready[s].popleft()
+            pos[s] += 1
+            states[s], out = engine.step(states[s], frame)
+            outs[s].append({k: out[k] for k in ("mpjpe", "pampjpe", "pve")})
+        if first_round:
+            # warmup barrier: compile / cache-load / the service's slow
+            # first execution complete here, outside the timed region
+            for s in range(S):
+                if outs[s]:
+                    np.asarray(outs[s][0]["mpjpe"])
+            first_round = False
+            t0 = time.perf_counter()
+
+    per_stream = []
+    for s in range(S):
+        packed = {k: np.asarray(jnp.stack([o[k] for o in outs[s]]))
+                  for k in ("mpjpe", "pampjpe", "pve")}
+        per_stream.append({k: float(v.mean()) for k, v in packed.items()}
+                          | {"frames": len(outs[s])})
+    total = sum(p["frames"] for p in per_stream)
+    # the timer starts after the warmup round; exclude those S frames
+    fps = max(total - S, 1) / (time.perf_counter() - t0)
+    agg = {k: sum(p[k] * p["frames"] for p in per_stream) / total
+           for k in ("mpjpe", "pampjpe", "pve")}
+    log(f"[parallel x{S}] {total} frames over {D} device(s): "
+        f"MPJPE:{agg['mpjpe']:.2f} PA:{agg['pampjpe']:.2f} "
+        f"PVE:{agg['pve']:.2f} ({fps:.2f} aggregate fps)")
+    return agg | {"frames": total, "fps": fps, "per_stream": per_stream}

@@ -25,6 +25,21 @@ class TestBenchmarkApp:
         assert (exp / "setting.txt").exists()
         assert (exp / "scalars.jsonl").exists()
 
+    def test_parallel_streams_mode(self, tmp_path):
+        """--parallel_streams N: the scale-out product path — N private
+        adaptation streams dispatched across the device mesh."""
+        from dynaboa_tpu.apps.benchmark import main
+
+        summary = main([
+            "--expdir", str(tmp_path), "--expname", "par",
+            "--synthetic", "6", "--parallel_streams", "2", *LEAN,
+        ])
+        assert summary["frames"] == 6
+        assert len(summary["per_stream"]) == 2
+        assert sum(p["frames"] for p in summary["per_stream"]) == 6
+        assert np.isfinite(summary["mpjpe"])
+        assert (tmp_path / "par" / "res.txt").exists()
+
 
 class TestStreamApp:
     def test_video_end_to_end(self, tmp_path):
