@@ -76,7 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run N independent adaptation streams over the "
                         "device mesh (whole (seq, person) tracks per "
                         "stream, private weights each — the scale-out "
-                        "mode; 0 = the reference's single sequential pass)")
+                        "mode; 0 = the reference's single sequential pass). "
+                        "Reduced artifact set: res.txt only — no "
+                        "scalars.jsonl / per-step npz / optim_step_record; "
+                        "--save_res, --checkpoint_every/--resume, "
+                        "--window_size, --chunk_size, --auto_reset and "
+                        "--profile_dir do not apply and error if set")
     p.add_argument("--chunk_size", type=int, default=1,
                    help="frames per lax.scan dispatch (offline throughput)")
     p.add_argument("--window_size", type=int, default=1,
@@ -168,6 +173,23 @@ def main(argv=None):
 
     if args.parallel_streams:
         from dynaboa_tpu.parallel import streams as P
+
+        # the parallel path produces the reduced artifact set (res.txt);
+        # error rather than silently ignore sequential-only flags
+        ignored = {"--save_res": args.save_res,
+                   "--checkpoint_every": args.checkpoint_every,
+                   "--resume": args.resume,
+                   "--window_size": args.window_size != 1,
+                   "--chunk_size": args.chunk_size != 1,
+                   "--auto_reset": args.auto_reset,
+                   "--profile_dir": args.profile_dir}
+        bad = [k for k, v in ignored.items() if v]
+        if bad:
+            raise SystemExit(
+                f"--parallel_streams does not support {', '.join(bad)}: "
+                "the parallel path writes the reduced artifact set "
+                "(res.txt) and runs streams without "
+                "checkpoint/window/chunk/reset machinery")
 
         groups = P.partition_items(stream, args.parallel_streams)
         summary = P.run_parallel(system.engine, system.params, groups,

@@ -117,6 +117,7 @@ class BilevelEngine:
         # the new state back and must not reuse the old one (the runner,
         # bench and apps are all linear in state; donation is a no-op on the
         # CPU test backend).
+        self._injecting = False
         self._assets = self._extract_assets()
         self._jit_step = jax.jit(self._step_with_assets, donate_argnums=(0,))
         self._jit_predict = jax.jit(self._predict_with_assets)
@@ -151,11 +152,26 @@ class BilevelEngine:
 
     def _inject_assets(self, assets):
         """Context that swaps the (traced) asset arrays into the attributes
-        the program body reads; static fields (parents, faces) survive."""
+        the program body reads; static fields (parents, faces) survive.
+
+        NOT re-entrant / thread-safe: the swap mutates live engine
+        attributes for the duration of a trace, so a concurrent trace of the
+        same engine (e.g. a second thread jitting predict while step
+        compiles) would silently read the other trace's tracers.  The guard
+        turns that silent corruption into a loud error; traces within one
+        engine must be serialized (all in-repo callers are)."""
         import contextlib
 
         @contextlib.contextmanager
         def ctx():
+            if self._injecting:
+                raise RuntimeError(
+                    "BilevelEngine._inject_assets entered re-entrantly: two "
+                    "traces of the same engine are running concurrently "
+                    "(or nested).  Serialize trace-triggering calls "
+                    "(step/predict/run_chunk first-compiles) per engine, or "
+                    "build one engine per thread.")
+            self._injecting = True
             old = (self.store, self.smpls, self.prior)
             g = assets["smpls"]
             try:
@@ -169,6 +185,7 @@ class BilevelEngine:
                 yield
             finally:
                 self.store, self.smpls, self.prior = old
+                self._injecting = False
 
         return ctx()
 
@@ -369,10 +386,11 @@ class BilevelEngine:
     def _level_loss(self, params, frame: Frame, state: AdaptState,
                     bank, level: str, teacher_params=None):
         """Full loss at one level: partial terms + teacher distillation
-        (reference base_adaptor.py:222-317).  Used by the inner (lower) step
-        and the plain single-level path; the dynamic upper loop uses the
-        split form directly so it can skip the backward pass after the
-        similarity gate closes.
+        (reference base_adaptor.py:222-317).  The split into
+        ``_partial_level`` + teacher term exists because the teacher term
+        needs the CARRIED teacher params (EMA'd after every dynamic update)
+        while everything in the partial form depends only on the frame, the
+        history and the exemplar bank.
 
         ``teacher_params`` defaults to the frame-initial teacher, which is
         correct for the lower level and for update 0.

@@ -296,3 +296,49 @@ class TestNoBakedConstants:
             f"{len(big)} large dense literal(s) baked into the step HLO; "
             f"largest {max(len(b) for b in big)} chars — an asset is being "
             "closed over instead of passed through _extract_assets")
+
+
+class TestInjectAssetsGuard:
+    def test_reentrant_injection_raises(self, engine_capped):
+        """`_inject_assets` swaps live engine attributes during a trace; a
+        concurrent (or nested) trace of the same engine would silently read
+        the wrong arrays.  The guard must turn that into a loud error."""
+        eng, _ = engine_capped
+        with eng._inject_assets(eng._assets):
+            with pytest.raises(RuntimeError, match="re-entrantly"):
+                with eng._inject_assets(eng._assets):
+                    pass
+        # the guard must fully release on exit (including after the raise)
+        with eng._inject_assets(eng._assets):
+            pass
+
+    def test_concurrent_traces_fail_loudly_not_silently(self, engine_capped,
+                                                        rng):
+        """Two threads tracing programs of the same engine concurrently:
+        either they serialize by luck or one raises — but neither may
+        corrupt the other's trace silently.  Exercise the seam with a trace
+        function that deliberately yields the GIL inside the context."""
+        import threading
+        import time as _t
+
+        eng, _ = engine_capped
+        errors: list[Exception] = []
+
+        def trace_once(delay, hold):
+            try:
+                _t.sleep(delay)
+                with eng._inject_assets(eng._assets):
+                    _t.sleep(hold)
+            except RuntimeError as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=trace_once, args=(0.0, 0.3)),
+                   threading.Thread(target=trace_once, args=(0.1, 0.0))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # exactly one thread entered; the other raised the guard error
+        assert len(errors) == 1 and "re-entrantly" in str(errors[0])
+        # engine attributes restored to real (non-tracer) assets
+        assert eng.store is eng._assets["store"]
