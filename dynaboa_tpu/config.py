@@ -89,6 +89,25 @@ class AdaptConfig:
     # dynaboa_webcam.py:249-254)
     keypoint_source: str = "gt"
 
+    # -- worst-case latency experiments (documented protocol DIVERGENCES;
+    #    both default OFF — the defaults are reference-faithful) -----------
+    # Drop the retrieved-exemplar row (and its labeled mixtrain loss) from
+    # the batched gradient on the dynamic EXTRA updates only (the mandatory
+    # first update keeps the full 3-row loss).  The extra-update gradient
+    # batch shrinks frame+hist+exemplar -> frame+hist, cutting the dominant
+    # backbone fwd+bwd cost ~1/3 per extra update.  Reference protocol
+    # re-retrieves and mixtrains on every update (dynaboa_benchmark.py:
+    # 176-181); measured impact in docs/PERF.md.
+    fast_extra_updates: bool = False
+    # Run the post-update convergence probe (tap-12 forward,
+    # dynaboa_benchmark.py:163-166) at image resolution / factor.  1 =
+    # full-res (faithful; the probe forward doubles as the final
+    # prediction).  2 = half-res probe: ~4x cheaper probe, one extra
+    # full-res forward after the loop for the final prediction, and the
+    # gate signal is computed from half-res taps (per-step record fidelity
+    # degrades accordingly).
+    probe_res_factor: int = 1
+
     def replace(self, **kw) -> "AdaptConfig":
         return dataclasses.replace(self, **kw)
 

@@ -53,6 +53,21 @@ class Frame(NamedTuple):
     pose: jnp.ndarray     # (B, 72) GT SMPL pose (zeros when unlabeled)
     betas: jnp.ndarray    # (B, 10) GT shape (zeros when unlabeled)
     gender: jnp.ndarray   # (B,) int32: 0 male / 1 female
+    # (B,) float32 row validity; None (the default) means all-valid.  Used
+    # by batched-window mode to pad the final partial window: pad rows
+    # (mask 0) are excluded from every loss term via row_weighted_mean and
+    # never recorded, so every stream frame is evaluated for any
+    # window_size (the r3 runner dropped tail frames).
+    mask: Any = None
+
+
+def stack_frame_list(frames: list) -> "Frame":
+    """Stack Frames along a new leading axis (chunked dispatch); fields
+    that are None in the inputs (e.g. an absent mask) stay None."""
+    return Frame(*[
+        None if getattr(frames[0], k) is None
+        else jnp.stack([getattr(f, k) for f in frames])
+        for k in Frame._fields])
 
 
 class AdaptState(NamedTuple):
@@ -202,16 +217,22 @@ class BilevelEngine:
             return self._predict(params, image)
 
     def step(self, state: AdaptState, frame: Frame,
-             cos_sim_threshold=None, extra_cap=None):
+             cos_sim_threshold=None, extra_cap=None, assets=None):
         """``cos_sim_threshold`` and ``extra_cap`` (max extra updates beyond
         the mandatory first) are TRACED scalars: threshold sweeps, the
         worst-case benchmark (thr=-1) and the fps-vs-extra-steps curve all
-        reuse ONE compiled program."""
+        reuse ONE compiled program.
+
+        ``assets`` overrides the engine's default (default-device) asset
+        pytree — multi-device dispatch passes a device-local copy so the
+        runtime doesn't silently re-upload ~tens of MB of assets to every
+        non-default device on every call (see ParallelStreams)."""
         thr = self._thr if cos_sim_threshold is None else jnp.float32(
             cos_sim_threshold)
         cap = (jnp.int32(self.cfg.optim_steps) if extra_cap is None
                else jnp.int32(extra_cap))
-        return self._jit_step(state, frame, thr, cap, self._assets)
+        return self._jit_step(state, frame, thr, cap,
+                              self._assets if assets is None else assets)
 
     def run_chunk(self, state: AdaptState, frames: Frame,
                   cos_sim_threshold=None, extra_cap=None):
@@ -256,11 +277,14 @@ class BilevelEngine:
 
     # -- loss builders -------------------------------------------------------
 
-    def _kp2d_loss(self, s2d, j2d):
+    def _kp2d_loss(self, s2d, j2d, row_w=None):
+        from dynaboa_tpu.losses.adaptation import row_weighted_mean
+
         if self.cfg.keypoint_source == "openpose":
-            return keypoint_2d_loss_openpose(s2d, j2d)
+            return keypoint_2d_loss_openpose(s2d, j2d, row_w)
         conf = j2d[:, 25:, 2:3]
-        return (((s2d[:, 25:] - j2d[:, 25:, :2]) ** 2) * conf).mean()
+        return row_weighted_mean(
+            ((s2d[:, 25:] - j2d[:, 25:, :2]) ** 2) * conf, row_w)
 
     def _teacher_active(self, level: str) -> bool:
         use_temporal = (self.cfg.use_temporal_losses_lower if level == "lower"
@@ -278,7 +302,7 @@ class BilevelEngine:
         return (t_rotmat, t_shape, t_s2d, t_s3d)
 
     def _partial_level(self, params, frame: Frame, state: AdaptState,
-                       bank, level: str):
+                       bank, level: str, mixtrain_override=None):
         """Shared lower/upper loss builder, EXCLUDING the teacher term
         (reference base_adaptor.py:222-268 / 271-317).
 
@@ -305,6 +329,8 @@ class BilevelEngine:
                         else cfg.use_temporal_losses_upper)
         use_mixtrain = (cfg.lower_level_mixtrain if level == "lower"
                         else cfg.upper_level_mixtrain)
+        if mixtrain_override is not None:   # fast_extra_updates experiment
+            use_mixtrain = mixtrain_override
         use_motion = use_temporal and cfg.use_motion
 
         B = frame.image.shape[0]
@@ -334,11 +360,13 @@ class BilevelEngine:
 
         if use_frame:
             if cfg.keypoint_source == "openpose":
-                s2dl = keypoint_2d_loss_openpose(s2d[fr], frame.j2d)
+                s2dl = keypoint_2d_loss_openpose(s2d[fr], frame.j2d,
+                                                 frame.mask)
                 from dynaboa_tpu.losses import shape_prior, pose_prior_loss
 
-                sp = shape_prior(shape[fr])
-                pp = pose_prior_loss(self.prior, rotmat[fr], shape[fr])
+                sp = shape_prior(shape[fr], frame.mask)
+                pp = pose_prior_loss(self.prior, rotmat[fr], shape[fr],
+                                     frame.mask)
                 loss = (s2dl * cfg.s2dloss_weight
                         + sp * cfg.shape_prior_weight
                         + pp * cfg.pose_prior_weight)
@@ -347,7 +375,7 @@ class BilevelEngine:
                 loss, parts = frame_loss(
                     self.prior, s2d[fr], rotmat[fr], shape[fr], frame.j2d,
                     cfg.s2dloss_weight, cfg.shape_prior_weight,
-                    cfg.pose_prior_weight,
+                    cfg.pose_prior_weight, frame.mask,
                 )
                 aux.update(parts)
             aux["unlabelloss"] = loss
@@ -363,7 +391,7 @@ class BilevelEngine:
                    else slice(25, None))
             hist_j2d = state.hist_j2d[slot]
             ml = motion_loss(s2d[fr][:, ksl], frame.j2d[:, ksl],
-                             s2d[hi][:, ksl], hist_j2d[:, ksl])
+                             s2d[hi][:, ksl], hist_j2d[:, ksl], frame.mask)
             active = (state.step > cfg.interval).astype(loss.dtype)
             loss = loss + ml * active * cfg.motionloss_weight
             aux["motion_loss"] = ml * active
@@ -384,7 +412,8 @@ class BilevelEngine:
         return (loss, touts), (frame_out, aux)
 
     def _level_loss(self, params, frame: Frame, state: AdaptState,
-                    bank, level: str, teacher_params=None):
+                    bank, level: str, teacher_params=None,
+                    mixtrain_override=None):
         """Full loss at one level: partial terms + teacher distillation
         (reference base_adaptor.py:222-317).  The split into
         ``_partial_level`` + teacher term exists because the teacher term
@@ -396,12 +425,12 @@ class BilevelEngine:
         correct for the lower level and for update 0.
         """
         (loss, touts), (frame_out, aux) = self._partial_level(
-            params, frame, state, bank, level)
+            params, frame, state, bank, level, mixtrain_override)
         if self._teacher_active(level):
             t_out = self._teacher_outs(
                 state.teacher_params if teacher_params is None
                 else teacher_params, frame)
-            tl, tparts = teacher_loss(*touts, *t_out)
+            tl, tparts = teacher_loss(*touts, *t_out, row_w=frame.mask)
             loss = loss + tl * self.cfg.teacherloss_weight
             aux["teacherloss"] = tl
             aux.update({f"teacher_{k}": v for k, v in tparts.items()})
@@ -538,6 +567,25 @@ class BilevelEngine:
                         jnp.logical_and((1.0 - sim) > thr, n <= cap)),
                 )
 
+            def grad_at(eval_params, teacher, bank, mixtrain_override=None):
+                (ul, (_, aux)), g = jax.value_and_grad(
+                    self._level_loss, has_aux=True
+                )(eval_params, frame, state, bank, "upper", teacher,
+                  mixtrain_override)
+                return ul, aux, g
+
+            # the convergence probe image: full-res by default (the probe
+            # forward then doubles as the final prediction); the
+            # probe_res_factor experiment average-pools it, trading gate /
+            # per-step-record fidelity for an ~f^2-cheaper probe
+            pf = cfg.probe_res_factor
+            if pf == 1:
+                probe_image = frame.image
+            else:
+                Bp, Hp, Wp, Cp = frame.image.shape
+                probe_image = frame.image.reshape(
+                    Bp, Hp // pf, pf, Wp // pf, pf, Cp).mean(axis=(2, 4))
+
             def body(carry):
                 (params, opt_state, teacher, rng, pred_c, sim, n,
                  first, sims, losses, recs) = carry
@@ -549,9 +597,25 @@ class BilevelEngine:
                 # the distillation target — reference base_adaptor.py:320-343
                 # reads self.teacher, which dynaboa_benchmark.py:176-187
                 # updates after every optimizer step
-                (ul, (_, aux)), g = jax.value_and_grad(
-                    self._level_loss, has_aux=True
-                )(eval_params, frame, state, bank, "upper", teacher)
+                if cfg.fast_extra_updates and cfg.upper_level_mixtrain:
+                    # fast_extra_updates experiment: extra updates (n >= 1)
+                    # drop the exemplar row from the batched gradient —
+                    # missing labeled-aux keys zero-fill so both cond
+                    # branches return one structure
+                    def full_b(a):
+                        return grad_at(*a)
+
+                    def fast_b(a):
+                        ul, aux, g = grad_at(*a, mixtrain_override=False)
+                        aux = {**{k: jnp.zeros(()) for k in aux_t
+                                  if k != "loss"}, **aux}
+                        return ul, aux, g
+
+                    ul, aux, g = jax.lax.cond(
+                        n == 0, full_b, fast_b,
+                        (eval_params, teacher, bank))
+                else:
+                    ul, aux, g = grad_at(eval_params, teacher, bank)
                 aux["loss"] = ul
                 losses = losses.at[n].set(ul)
                 params, opt_state = self._outer_update(g, params, opt_state)
@@ -564,7 +628,7 @@ class BilevelEngine:
                 # dynaboa_benchmark.py:163-166 + inference fwd at :189 — here
                 # they are one).
                 rotmat_p, shape_p, cam_p, feats_post = self._forward(
-                    params, frame.image)
+                    params, probe_image)
                 sim = feature_cosine_similarities(
                     (pred_c[3][12],), (feats_post[12],))[0]
                 sims = sims.at[n].set(sim)
@@ -602,11 +666,17 @@ class BilevelEngine:
                 if rec_on else tuple(jnp.zeros((0,), jnp.float32)
                                      for _ in range(3)))
 
+            # carry shapes must match the probe outputs: with a reduced-res
+            # probe the spatial feature taps shrink, so the initial carried
+            # prediction is a probe-res forward at the pre-update params
+            # (also makes the n=0 gate compare same-resolution taps)
+            pred_c0 = ((rotmat0, shape0, cam0, init_feats) if pf == 1
+                       else self._forward(state.params, probe_image))
             (params, opt_state, teacher, rng, pred_f, sim12, nupd,
              upper_aux, sims, losses, recs) = jax.lax.while_loop(
                 cond, body,
                 (state.params, state.opt_state, state.teacher_params,
-                 rng, (rotmat0, shape0, cam0, init_feats),
+                 rng, pred_c0,
                  jnp.zeros(()), jnp.zeros((), jnp.int32), aux_t,
                  sims_init, losses_init, recs_init),
             )
@@ -639,8 +709,12 @@ class BilevelEngine:
 
         # 5. final inference + metrics at the adapted weights.  Under BOA the
         # while-loop's last post-update forward already ran the backbone at
-        # the final params, so only the SMPL decode + projection remain here.
+        # the final params, so only the SMPL decode + projection remain here
+        # (with a reduced-resolution probe the probe outputs are not
+        # prediction-fidelity, so one full-res forward runs here instead).
         if cfg.use_boa:
+            if cfg.probe_res_factor != 1:
+                pred_f = self._forward(params, frame.image)
             rotmat_f, shape_f, cam_f, feats_f = pred_f
             s3d_f, verts_f = self._decode(rotmat_f, shape_f, no_grad=True)
             pred = dict(rotmat=rotmat_f, shape=shape_f, cam=cam_f,

@@ -172,6 +172,7 @@ def frame_from_item(item: dict, keypoint_source: str = "gt") -> Frame:
         pose=item["pose"][None],
         betas=item["betas"][None],
         gender=np.asarray([item["gender"]], np.int32),
+        mask=np.ones((1,), np.float32),
     )
 
 
@@ -411,11 +412,9 @@ class StreamRunner:
                         state, jax.device_put(pending[0][1]))
                     outs = [out]
                 else:
-                    import jax.numpy as jnp
+                    from dynaboa_tpu.engine.bilevel import stack_frame_list
 
-                    stacked = Frame(*[
-                        jnp.stack([getattr(f, k) for _, f, _ in pending])
-                        for k in Frame._fields])
+                    stacked = stack_frame_list([f for _, f, _ in pending])
                     state, outs_stacked = self.engine.run_chunk(
                         state, jax.device_put(stacked))
                     outs = [jax.tree.map(lambda a, j=j: a[j], outs_stacked)
@@ -470,8 +469,25 @@ class StreamRunner:
                         f"{1.0 / np.mean(self.step_times[-self.log_every:]):.2f} fps"
                     )
             if win_items:
-                print(f"---> dropping {len(win_items)} tail frames "
-                      f"(stream length not a multiple of window_size)")
+                # Final partial window: pad to window_size by repeating the
+                # last real frame, mask the pad rows out of every loss term
+                # (Frame.mask -> row_weighted_mean) and record only the real
+                # frames — every stream frame is evaluated for any W (the
+                # reference evaluates every frame; dropping tails would
+                # shrink the protocol denominator by up to W-1 per track).
+                T = len(win_items)
+                items = [it for _, it in win_items]
+                frame = frame_from_window(
+                    items + [items[-1]] * (window_size - T), keypoint_source)
+                frame = frame._replace(mask=np.concatenate(
+                    [np.ones(T, np.float32),
+                     np.zeros(window_size - T, np.float32)]))
+                metas = [{k: it[k] for k in ("imgname", "bbox") if k in it}
+                         for it in items]
+                pending.append((win_items[0][0], frame, metas))
+                print(f"---> final window padded: {T} real + "
+                      f"{window_size - T} masked pad frames")
+                win_items = []
             flush()
             materialize()
         finally:

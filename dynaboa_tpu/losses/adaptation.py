@@ -20,37 +20,54 @@ from dynaboa_tpu.ops.rotations import batch_rodrigues, rotmat_to_aa
 from dynaboa_tpu.losses.priors import GMMPrior, gmm_prior_nll, shape_prior
 
 
+def row_weighted_mean(x: jnp.ndarray, w: jnp.ndarray | None) -> jnp.ndarray:
+    """Mean over all elements with optional per-row (batch) weights.
+
+    ``w=None`` (or all-ones) reproduces ``x.mean()`` exactly; zero-weight
+    rows contribute neither numerator nor denominator.  Used to exclude the
+    pad rows of a partial batched window (the final window of a stream whose
+    length is not a multiple of window_size) from every loss term."""
+    if w is None:
+        return x.mean()
+    wb = w.reshape(w.shape[0], *([1] * (x.ndim - 1)))
+    per_row = float(x.size // x.shape[0])
+    return (x * wb).sum() / (w.sum() * per_row)
+
+
 def keypoint_2d_loss(
     pred_s2d_normed: jnp.ndarray,   # (B, 49, 2) in [-1, 1]
     gt_j2d: jnp.ndarray,            # (B, 49, 3) normalized, conf last
+    row_w: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Confidence-weighted MSE on the 24 GT joints (indices 25:)
     (reference base_adaptor.py:229-234)."""
     conf = gt_j2d[:, 25:, 2:3]
     err = (pred_s2d_normed[:, 25:] - gt_j2d[:, 25:, :2]) ** 2
-    return (err * conf).mean()
+    return row_weighted_mean(err * conf, row_w)
 
 
 def keypoint_2d_loss_openpose(
     pred_s2d_normed: jnp.ndarray,
     kp2d: jnp.ndarray,
+    row_w: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Webcam-path variant: losses over the 25 OpenPose joints (indices :25)
     (reference dynaboa_webcam.py:249-254 uses [:, :25])."""
     conf = kp2d[:, :25, 2:3]
     err = (pred_s2d_normed[:, :25] - kp2d[:, :25, :2]) ** 2
-    return (err * conf).mean()
+    return row_weighted_mean(err * conf, row_w)
 
 
 def pose_prior_loss(
-    prior: GMMPrior, pred_rotmat: jnp.ndarray, betas: jnp.ndarray
+    prior: GMMPrior, pred_rotmat: jnp.ndarray, betas: jnp.ndarray,
+    row_w: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """GMM max-mixture NLL on the 23 body rotations converted to axis-angle
     (reference base_adaptor.py:405-409)."""
     body = pred_rotmat[:, 1:].reshape(-1, 3, 3)
     aa = rotmat_to_aa(body).reshape(pred_rotmat.shape[0], 69)
     del betas  # the reference passes betas through but the GMM ignores them
-    return gmm_prior_nll(prior, aa).mean()
+    return row_weighted_mean(gmm_prior_nll(prior, aa), row_w)
 
 
 def frame_loss(
@@ -62,12 +79,13 @@ def frame_loss(
     s2d_weight: float,
     shape_prior_weight: float,
     pose_prior_weight: float,
+    row_w: jnp.ndarray | None = None,
 ):
     """The per-frame unsupervised loss mix used at both levels
     (reference base_adaptor.py:231-247 / 280-296)."""
-    s2d = keypoint_2d_loss(pred_s2d_normed, gt_j2d)
-    sp = shape_prior(pred_shape)
-    pp = pose_prior_loss(prior, pred_rotmat, pred_shape)
+    s2d = keypoint_2d_loss(pred_s2d_normed, gt_j2d, row_w)
+    sp = shape_prior(pred_shape, row_w)
+    pp = pose_prior_loss(prior, pred_rotmat, pred_shape, row_w)
     total = s2d * s2d_weight + sp * shape_prior_weight + pp * pose_prior_weight
     return total, {"s2dloss": s2d, "shape_prior": sp, "pose_prior": pp}
 
@@ -75,13 +93,14 @@ def frame_loss(
 def teacher_loss(
     pred_rotmat, pred_shape, pred_s2d, pred_s3d,
     ema_rotmat, ema_shape, ema_s2d, ema_s3d,
+    row_w: jnp.ndarray | None = None,
 ):
     """SPIN-style distillation vs the mean teacher: fixed 5/5/0.001/1 mix
     (reference base_adaptor.py:320-343)."""
-    s2d = ((pred_s2d - ema_s2d) ** 2).mean()
-    s3d = ((ema_s3d - pred_s3d) ** 2).mean()
-    shape = ((pred_shape - ema_shape) ** 2).mean()
-    pose = ((pred_rotmat - ema_rotmat) ** 2).mean()
+    s2d = row_weighted_mean((pred_s2d - ema_s2d) ** 2, row_w)
+    s3d = row_weighted_mean((ema_s3d - pred_s3d) ** 2, row_w)
+    shape = row_weighted_mean((pred_shape - ema_shape) ** 2, row_w)
+    pose = row_weighted_mean((pred_rotmat - ema_rotmat) ** 2, row_w)
     total = s2d * 5 + s3d * 5 + shape * 0.001 + pose * 1
     return total, {"s2dloss": s2d, "s3dloss": s3d, "shape_loss": shape,
                    "pose_loss": pose, "loss": total}
@@ -130,6 +149,7 @@ def motion_loss(
     gt_s2d: jnp.ndarray,          # (B, 24, 3) current-frame GT joints + conf
     hist_pred_s2d: jnp.ndarray,   # (B, 24, 2) prediction on the t-interval frame
     hist_s2d: jnp.ndarray,        # (B, 24, 3) GT joints of that frame + conf
+    row_w: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """2D motion consistency: predicted displacement vs GT displacement over
     the history interval, gated to joints confident in BOTH frames
@@ -139,7 +159,7 @@ def motion_loss(
     conf = jnp.where(
         (hist_s2d[..., 2:3] + gt_s2d[..., 2:3]) == 2.0, 1.0, 0.0
     )
-    return (((pred_motion - gt_motion) ** 2) * conf).mean()
+    return row_weighted_mean(((pred_motion - gt_motion) ** 2) * conf, row_w)
 
 
 def feature_cosine_similarities(features_i, features_j, eps: float = 1e-12):

@@ -102,10 +102,14 @@ def gmm_prior_nll(prior: GMMPrior, pose: jnp.ndarray) -> jnp.ndarray:
     return jnp.min(loglik, axis=1)
 
 
-def shape_prior(betas: jnp.ndarray) -> jnp.ndarray:
+def shape_prior(betas: jnp.ndarray, row_w=None) -> jnp.ndarray:
     """L2 shape regularizer: mean over batch of sum(betas^2)
-    (reference base_adaptor.py:401-402)."""
-    return jnp.sum(betas**2, axis=-1).mean()
+    (reference base_adaptor.py:401-402); optional per-row weights exclude
+    window pad rows (losses/adaptation.py row_weighted_mean)."""
+    per = jnp.sum(betas**2, axis=-1)
+    if row_w is None:
+        return per.mean()
+    return (per * row_w).sum() / row_w.sum()
 
 
 # SMPLify angle prior: indices into the 72-d full pose for l/r elbow and knee

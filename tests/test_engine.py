@@ -245,8 +245,9 @@ class TestChunkedScan:
             s_loop, o = eng.step(s_loop, f)
             loop_steps.append(int(np.asarray(o["optim_steps"])))
 
-        stacked = Frame(*[jnp.stack([getattr(f, k) for f in frames])
-                          for k in Frame._fields])
+        from dynaboa_tpu.engine.bilevel import stack_frame_list
+
+        stacked = stack_frame_list(frames)
         s_scan, outs = eng.run_chunk(eng.init_state(params, img_res=IMG),
                                      stacked)
         assert outs["mpjpe"].shape[0] == 3
@@ -342,3 +343,49 @@ class TestInjectAssetsGuard:
         assert len(errors) == 1 and "re-entrantly" in str(errors[0])
         # engine attributes restored to real (non-tracer) assets
         assert eng.store is eng._assets["store"]
+
+
+class TestWorstCaseExperiments:
+    """Flag-gated worst-case-latency experiments (docs/PERF.md): both
+    change the extra-update protocol and default OFF; these tests pin
+    that they run, converge-gate correctly, and leave the mandatory
+    first update untouched."""
+
+    def test_fast_extra_updates_runs_and_matches_first_update(self, setup,
+                                                              rng):
+        eng_ref, params = make_engine(setup, cos_sim_threshold=-1.0,
+                                      optim_steps=2,
+                                      record_lowerlevel=False)
+        eng_fast, _ = make_engine(setup, cos_sim_threshold=-1.0,
+                                  optim_steps=2, record_lowerlevel=False,
+                                  fast_extra_updates=True)
+        frame = make_frame(rng)
+        out_ref = eng_ref.step(eng_ref.init_state(params, img_res=IMG),
+                               frame)[1]
+        out_fast = eng_fast.step(eng_fast.init_state(params, img_res=IMG),
+                                 frame)[1]
+        # same number of (forced) updates; the FIRST update's loss is the
+        # full 3-row loss in both modes
+        assert int(np.asarray(out_fast["optim_steps"])) == 2
+        np.testing.assert_allclose(
+            np.asarray(out_fast["per_step_loss"])[0],
+            np.asarray(out_ref["per_step_loss"])[0], rtol=1e-5)
+        # extra updates drop the labeled term -> losses differ
+        assert not np.allclose(np.asarray(out_fast["per_step_loss"])[1:],
+                               np.asarray(out_ref["per_step_loss"])[1:])
+        for k in ("mpjpe", "pampjpe", "pve"):
+            assert np.isfinite(np.asarray(out_fast[k])).all()
+
+    def test_half_res_probe_runs_and_caps(self, setup, rng):
+        eng, params = make_engine(setup, cos_sim_threshold=-1.0,
+                                  optim_steps=2, record_lowerlevel=False,
+                                  probe_res_factor=2)
+        frame = make_frame(rng)
+        state, out = eng.step(eng.init_state(params, img_res=IMG), frame)
+        assert int(np.asarray(out["optim_steps"])) == 2
+        for k in ("mpjpe", "pampjpe", "pve", "verts"):
+            assert np.isfinite(np.asarray(out[k])).all()
+        # the final prediction is full-res: verts come from a full-res
+        # forward, so feat_sim (init vs final, both full-res) is sane
+        sims = np.asarray(out["feat_sim"])
+        assert sims.shape == (15,) and np.isfinite(sims).all()

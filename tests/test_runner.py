@@ -178,13 +178,18 @@ class TestRunner:
         assert int(state.step) == 2
         assert np.isfinite(summary["mpjpe"])
 
-    def test_window_drops_partial_tail(self, engine, tmp_path):
+    def test_window_pads_partial_tail(self, engine, tmp_path):
+        """The final partial window is padded + masked, not dropped: all 5
+        frames are evaluated (3 windows: 2+2+1-real), and the pad row never
+        produces a record (see TestWindowTailPadding for the loss math)."""
         eng, params = engine
         stream = SyntheticStream(num_frames=5, img_res=IMG, seed=9)
         runner = StreamRunner(eng, str(tmp_path), log_every=100)
         state = eng.init_state(params, batch_size=2, img_res=IMG)
-        _, summary = runner.run(stream, state, window_size=2)
-        assert summary["frames"] == 4          # 5th frame dropped
+        state, summary = runner.run(stream, state, window_size=2)
+        assert summary["frames"] == 5
+        assert len(runner.mpjpe_all) == 5
+        assert int(state.step) == 3            # 3 window updates
 
     def test_per_step_trajectory_records(self, tmp_path):
         """The reference records sims + metrics after EVERY dynamic update
@@ -300,3 +305,64 @@ class TestRunner:
         for a, b in zip(jax.tree.leaves(reset.params), init_snapshot):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(reset.step) == 0
+
+
+class TestWindowTailPadding:
+    """Streams whose length is not a multiple of window_size: the final
+    partial window is padded + masked, never dropped — every frame is
+    evaluated (the reference evaluates every frame)."""
+
+    def test_all_frames_seen_for_every_window_size(self, tmp_path):
+        import jax
+
+        from dynaboa_tpu.config import AdaptConfig
+        from dynaboa_tpu.data import SyntheticStream
+        from dynaboa_tpu.engine import BilevelEngine, synthetic_store
+        from dynaboa_tpu.engine.runner import StreamRunner
+        from dynaboa_tpu.losses import synthetic_gmm_prior
+        from dynaboa_tpu.models.hmr import HMR, init_hmr_params
+        from tests.test_engine import make_smpls, IMG, WIDTH
+
+        cfg = AdaptConfig(dynamic_boa=False, use_meanteacher=False,
+                          use_motion=False, retrieval=False,
+                          lower_level_mixtrain=False,
+                          upper_level_mixtrain=False,
+                          record_lowerlevel=False)
+        model = HMR(layers=(1, 1, 1, 1), width=WIDTH, regressor_dim=128)
+        params = init_hmr_params(model, jax.random.PRNGKey(0),
+                                 input_shape=(1, IMG, IMG, 3))
+        eng = BilevelEngine(cfg, model, synthetic_gmm_prior(seed=4),
+                            make_smpls(),
+                            synthetic_store(seed=6, img_res=IMG,
+                                            feat_dim=8 * WIDTH * 4))
+        N, W = 7, 3   # 2 full windows + a 1-frame tail
+        stream = SyntheticStream(num_frames=N, seed=2, img_res=IMG)
+        runner = StreamRunner(eng, str(tmp_path), log_every=10_000)
+        state = eng.init_state(params, batch_size=W, img_res=IMG)
+        _, summary = runner.run(stream, state, window_size=W)
+        assert runner.frames_seen == N
+        assert summary["frames"] == N
+        assert len(runner.mpjpe_all) == N
+        assert np.isfinite(summary["mpjpe"])
+
+    def test_masked_pad_rows_do_not_change_the_update(self):
+        """A padded+masked window must produce the same loss value and the
+        same parameter update as the unpadded batch of real rows —
+        row_weighted_mean excludes pad rows from numerator AND
+        denominator."""
+        import jax
+        import jax.numpy as jnp
+
+        from dynaboa_tpu.losses.adaptation import row_weighted_mean
+
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 5, 2)),
+                        jnp.float32)
+        pad = jnp.concatenate([x, x[-1:], x[-1:]])        # 2 pad rows
+        w = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+        np.testing.assert_allclose(np.asarray(row_weighted_mean(pad, w)),
+                                   np.asarray(x.mean()), rtol=1e-6)
+        # all-ones weights reproduce the plain mean to 1 ULP (mean lowers
+        # to a reciprocal multiply; the weighted form divides)
+        np.testing.assert_allclose(
+            np.asarray(row_weighted_mean(x, jnp.ones(3))),
+            np.asarray(x.mean()), rtol=1e-6)
