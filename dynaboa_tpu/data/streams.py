@@ -151,6 +151,12 @@ class PW3DStream:
         }
         return item
 
+    def __getitem__(self, i: int) -> dict:
+        """Random access loads ON DEMAND (image read + crop per call) —
+        nothing is materialized, so lazy views over index subsets
+        (parallel.streams.partition_items) hold O(1) memory."""
+        return self._load(i)
+
     def __iter__(self) -> Iterator[dict]:
         return _prefetched(self._load, len(self), self.prefetch)
 
@@ -209,6 +215,9 @@ class InternetStream:
                              np.float32),
         }
 
+    def __getitem__(self, i: int) -> dict:
+        return self._load(i)
+
     def __iter__(self) -> Iterator[dict]:
         return _prefetched(self._load, len(self), self.prefetch)
 
@@ -238,12 +247,15 @@ class SyntheticStream:
                  seed: int = 0, fused_preprocess: bool = False):
         """``fused_preprocess=True`` emits raw uint8 frames + (center, scale)
         instead of host-cropped images, exercising the on-device
-        ``fused_crop_resize_normalize`` path end-to-end."""
+        ``fused_crop_resize_normalize`` path end-to-end.
+
+        Frames are generated LAZILY, deterministically per (seed, index) —
+        a 35k-frame stream holds no frame memory, so long-run soaks and
+        lazy parallel partitions stay O(1) in host RAM."""
         self.n = num_frames
         self.img_res = img_res
         self.fused_preprocess = fused_preprocess
-        self.rng = np.random.default_rng(seed)
-        self._frames = [self._make(i) for i in range(num_frames)]
+        self.seed = seed
 
     def _make_raw(self, r) -> dict:
         # spatially smooth content (8x8 blocks) so the host anti-aliasing
@@ -257,7 +269,7 @@ class SyntheticStream:
                 "out_res": self.img_res}
 
     def _make(self, i: int) -> dict:
-        r = self.rng
+        r = np.random.default_rng((self.seed, i))
         if self.fused_preprocess:
             head = self._make_raw(r)
         else:
@@ -280,5 +292,8 @@ class SyntheticStream:
     def __len__(self):
         return self.n
 
+    def __getitem__(self, i: int) -> dict:
+        return self._make(i)
+
     def __iter__(self):
-        return iter(self._frames)
+        return (self._make(i) for i in range(self.n))

@@ -78,19 +78,39 @@ class ParallelStreams:
         self.devices = list(mesh.devices.ravel())
         self.axis = mesh.axis_names[0]
         self.share_weights = share_weights
+        # independent mode: one device-local copy of the asset pytree per
+        # mesh device, uploaded ONCE.  Passing the engine's default-device
+        # assets into a jit whose other inputs live on device s would make
+        # the runtime re-copy the whole asset tree (SMPL tensors, exemplar
+        # bank, GMM — tens of MB) to device s on EVERY dispatch.
+        self._dev_assets = {}
         if share_weights:
             self._build_spmd()
+
+    def _assets_for(self, dev):
+        a = self._dev_assets.get(dev)
+        if a is None:
+            a = jax.device_put(self.engine._assets, dev)
+            self._dev_assets[dev] = a
+        return a
 
     # -- SPMD (share_weights) program ---------------------------------------
 
     def _build_spmd(self):
         engine = self.engine
+        thr = jnp.float32(engine.cfg.cos_sim_threshold)
+        cap = jnp.int32(engine.cfg.optim_steps)
 
-        def one_stream_step(state: AdaptState, frame: Frame):
-            return engine._step(state, frame)
-
-        def local_step(state, frame):
-            new_state, out = jax.vmap(one_stream_step)(state, frame)
+        def local_step(state, frame, assets):
+            # assets ride as a REPLICATED shard_map argument, through the
+            # same `_inject_assets` seam the single-stream programs use —
+            # closing over them here would bake the exemplar bank / SMPL
+            # tensors / GMM as HLO constants (the ~170 MB-HLO problem;
+            # guarded by tests/test_parallel.py TestNoBakedConstantsSPMD)
+            with engine._inject_assets(assets):
+                new_state, out = jax.vmap(
+                    lambda st, fr: engine._step(st, fr, thr, cap)
+                )(state, frame)
             # average the adapted weights across all streams so every
             # stream continues from consensus params
             mean_params = jax.lax.pmean(
@@ -107,13 +127,15 @@ class ParallelStreams:
         spec = P(self.axis)
         try:        # jax >= 0.8: replication checking flag renamed
             smapped = shard_map(local_step, mesh=self.mesh,
-                                in_specs=(spec, spec),
+                                in_specs=(spec, spec, P()),
                                 out_specs=(spec, spec), check_vma=False)
         except TypeError:
             smapped = shard_map(local_step, mesh=self.mesh,
-                                in_specs=(spec, spec),
+                                in_specs=(spec, spec, P()),
                                 out_specs=(spec, spec), check_rep=False)
-        self._step = jax.jit(smapped)
+        self._spmd_jit = jax.jit(smapped)   # exposed for HLO inspection
+        self._step = lambda states, frames: self._spmd_jit(
+            states, frames, engine._assets)
 
     # -- state management ----------------------------------------------------
 
@@ -180,8 +202,10 @@ class ParallelStreams:
         new_states, outs = [], []
         D = len(self.devices)
         for s, (state, frame) in enumerate(zip(states, frames)):
-            frame = jax.device_put(frame, self.devices[s % D])
-            st, out = self.engine.step(state, frame)
+            dev = self.devices[s % D]
+            frame = jax.device_put(frame, dev)
+            st, out = self.engine.step(state, frame,
+                                       assets=self._assets_for(dev))
             new_states.append(st)
             outs.append(out)
         return new_states, outs
@@ -207,26 +231,53 @@ def stack_outs(outs: list[dict]) -> dict:
             for k in outs[0]}
 
 
-def partition_items(stream, n_groups: int) -> list[list[dict]]:
-    """Split a dataset stream into n independent adaptation streams.
+class StreamView:
+    """Lazy view of selected indices of an underlying stream.
+
+    Items load ON DEMAND through the stream's ``__getitem__`` — a view over
+    a 35k-frame 3DPW stream holds only its index list, never the ~600 KB
+    preprocessed crops (the eager ``list(stream)`` the r3 partitioner did
+    would have needed ~21 GB of host RAM for the real dataset)."""
+
+    def __init__(self, stream, indices: list[int]):
+        self.stream = stream
+        self.indices = indices
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i: int) -> dict:
+        return self.stream[self.indices[i]]
+
+    def __iter__(self):
+        return (self.stream[i] for i in self.indices)
+
+
+def partition_items(stream, n_groups: int) -> list[StreamView]:
+    """Split a dataset stream into n independent adaptation streams —
+    LAZILY: returns :class:`StreamView`\\ s over index subsets; nothing is
+    materialized.
 
     3DPW-style streams expose ``seq_lengths``: whole (seq, person) tracks
     are assigned round-robin (frames within a track stay ordered — the
     track IS the temporal stream; splitting one would break the motion
     history).  Other streams are chunked contiguously."""
-    items = (list(stream) if not hasattr(stream, "__getitem__")
-             else [stream[i] for i in range(len(stream))])
+    if not hasattr(stream, "__getitem__"):
+        stream = list(stream)   # pure iterator: materialize once (fallback)
+    n = len(stream)
     lengths = getattr(stream, "seq_lengths", None)
     if lengths:
-        groups: list[list[dict]] = [[] for _ in range(n_groups)]
+        groups: list[list[int]] = [[] for _ in range(n_groups)]
         start = 0
-        for t, n in enumerate(lengths):
-            groups[t % n_groups].extend(items[start:start + n])
-            start += n
-        return [g for g in groups if g]
-    per = (len(items) + n_groups - 1) // n_groups
-    return [items[i:i + per] for i in range(0, len(items), per) if
-            items[i:i + per]]
+        for t, ln in enumerate(lengths):
+            groups[t % n_groups].extend(range(start, start + ln))
+            start += ln
+        idx_groups = [g for g in groups if g]
+    else:
+        per = (n + n_groups - 1) // n_groups
+        idx_groups = [list(range(i, min(i + per, n)))
+                      for i in range(0, n, per)]
+    return [StreamView(stream, g) for g in idx_groups]
 
 
 def run_parallel(engine, params, groups: list[list[dict]],
@@ -260,19 +311,27 @@ def run_parallel(engine, params, groups: list[list[dict]],
     outs: list[list[dict]] = [[] for _ in range(S)]
 
     import collections
+    from concurrent.futures import ThreadPoolExecutor
 
-    # Per-stream prefetch of device-resident frames: frame assembly and the
-    # host->device upload are issued a few frames ahead (device_put is
-    # async), so per-round host work is mostly just the dispatch itself.
+    # Per-stream prefetch of device-resident frames: the (now lazy) item
+    # load, frame assembly and the host->device upload are issued a few
+    # frames ahead on a thread pool — loads are cv2/IO-bound and overlap
+    # the tunnel round trips of dispatch; in-flight memory is bounded by
+    # PREFETCH frames per stream regardless of dataset size.
     PREFETCH = 3
     ready: list[collections.deque] = [collections.deque() for _ in range(S)]
+    pool = ThreadPoolExecutor(max_workers=min(8, max(2, S)))
+
+    def load_one(s, idx):
+        return jax.device_put(
+            frame_from_item(groups[s][idx], keypoint_source),
+            par.devices[s % D])
 
     def fill(s):
         while (len(ready[s]) < PREFETCH and
                pos[s] + len(ready[s]) < len(groups[s])):
-            it = groups[s][pos[s] + len(ready[s])]
-            ready[s].append(jax.device_put(
-                frame_from_item(it, keypoint_source), par.devices[s % D]))
+            idx = pos[s] + len(ready[s])
+            ready[s].append(pool.submit(load_one, s, idx))
 
     t0 = time.perf_counter()
     first_round = True
@@ -284,9 +343,10 @@ def run_parallel(engine, params, groups: list[list[dict]],
             if not ready[s]:
                 continue
             alive = True
-            frame = ready[s].popleft()
+            frame = ready[s].popleft().result()
             pos[s] += 1
-            states[s], out = engine.step(states[s], frame)
+            states[s], out = engine.step(
+                states[s], frame, assets=par._assets_for(par.devices[s % D]))
             outs[s].append({k: out[k] for k in ("mpjpe", "pampjpe", "pve")})
         if first_round:
             # warmup barrier: compile / cache-load / the service's slow
@@ -297,6 +357,7 @@ def run_parallel(engine, params, groups: list[list[dict]],
             first_round = False
             t0 = time.perf_counter()
 
+    pool.shutdown(wait=True)
     per_stream = []
     for s in range(S):
         packed = {k: np.asarray(jnp.stack([o[k] for o in outs[s]]))

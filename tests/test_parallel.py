@@ -264,3 +264,122 @@ class TestRunParallel:
         # and the chunked-contiguous fallback for seq-less streams
         flat = partition_items(list(stream), 3)
         assert [len(g) for g in flat] == [3, 3, 2]
+
+
+class TestAssetPlumbing:
+    def test_spmd_lowering_has_no_baked_constants(self, par_setup, rng):
+        """share_weights traces the engine step under shard_map; the assets
+        must ride as a replicated shard_map ARGUMENT — closing over them
+        would reinstate the ~170 MB-HLO baked-constant problem the
+        single-stream programs eliminated (docs/PERF.md 'Compile times')."""
+        import re
+
+        par_base, params = par_setup
+        par = ParallelStreams(par_base.engine, par_base.mesh,
+                              share_weights=True)
+        S = 2
+        states = par.init_states(params, S, img_res=IMG)
+        frames = stack_frames(make_items(rng, S))
+        low = par._spmd_jit.lower(states, frames, par.engine._assets)
+        txt = low.as_text()
+        big = re.findall(r"dense<[^>]{1024,}>", txt)
+        assert not big, (
+            f"{len(big)} large dense literal(s) baked into the SPMD HLO; "
+            "an asset is being closed over instead of passed as a "
+            "replicated shard_map argument")
+
+    def test_independent_mode_uses_device_local_assets(self, par_setup, rng):
+        """Independent dispatch must pass a device-LOCAL asset copy per
+        mesh device (cached, uploaded once) — otherwise the runtime
+        silently re-copies the whole asset pytree to every non-default
+        device on every step."""
+        par, params = par_setup
+        S = 4
+        states = par.init_states(params, S, img_res=IMG)
+        par.step(states, stack_frames(make_items(rng, S)))
+        # one cache entry per mesh device, each resident on its device
+        assert set(par._dev_assets) == set(par.devices)
+        for dev, assets in par._dev_assets.items():
+            leaves = [l for l in jax.tree.leaves(assets)
+                      if hasattr(l, "devices")]
+            assert leaves and all(l.devices() == {dev} for l in leaves)
+        # cache is stable across steps (no re-upload)
+        before = {d: jax.tree.leaves(a)[0]
+                  for d, a in par._dev_assets.items()}
+        states2 = par.init_states(params, S, img_res=IMG)
+        par.step(states2, stack_frames(make_items(rng, S)))
+        for d, leaf in before.items():
+            assert jax.tree.leaves(par._dev_assets[d])[0] is leaf
+
+
+class TestOversubscription:
+    def test_run_parallel_more_streams_than_devices(self, par_setup, rng):
+        """S > D: streams time-slice devices round-robin; every frame of
+        every stream must be evaluated."""
+        from dynaboa_tpu.parallel.streams import partition_items, run_parallel
+
+        par, params = par_setup
+
+        class FakeStream(list):
+            seq_lengths = [2, 1, 2, 1, 2]
+
+        stream = FakeStream(
+            {**it, "gender": int(it["gender"])} for it in make_items(rng, 8))
+        groups = partition_items(stream, 5)   # 5 streams on a 2-device mesh
+        summary = run_parallel(par.engine, params, groups,
+                               mesh=par.mesh, log=lambda *a: None)
+        assert summary["frames"] == 8
+        assert len(summary["per_stream"]) == 5
+        assert np.isfinite([summary["mpjpe"], summary["pampjpe"],
+                            summary["pve"]]).all()
+
+
+class TestLazyPartition:
+    def test_views_are_lazy_and_order_preserving(self):
+        """partition_items must not materialize the stream: loads happen
+        on demand through __getitem__, whole tracks stay intact and
+        ordered."""
+        loads = []
+
+        class CountingStream:
+            seq_lengths = [3, 2, 3]
+
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                loads.append(i)
+                return {"idx": i}
+
+        groups = __import__(
+            "dynaboa_tpu.parallel.streams", fromlist=["partition_items"]
+        ).partition_items(CountingStream(), 2)
+        assert loads == []                      # nothing loaded eagerly
+        assert [len(g) for g in groups] == [6, 2]
+        assert [it["idx"] for it in groups[0]] == [0, 1, 2, 5, 6, 7]
+        assert [it["idx"] for it in groups[1]] == [3, 4]
+        assert groups[0][3]["idx"] == 5         # random access stays lazy
+
+    def test_synthetic_stream_is_lazy_and_deterministic(self):
+        from dynaboa_tpu.data import SyntheticStream
+
+        s = SyntheticStream(num_frames=50_000, seed=3)   # instant if lazy
+        a = s[17]
+        b = SyntheticStream(num_frames=10, seed=3)[17 % 50_000]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["pose"], b["pose"])
+        it = iter(s)
+        first = next(it)
+        np.testing.assert_array_equal(first["image"], s[0]["image"])
+
+    def test_pw3d_style_getitem_matches_iteration(self, par_setup, rng):
+        """A lazy parallel partition over __getitem__ must see the same
+        items a sequential iteration sees (metric parity of the two
+        paths reduces to item parity — items are what the engine consumes)."""
+        from dynaboa_tpu.data import SyntheticStream
+
+        s = SyntheticStream(num_frames=6, seed=9)
+        for i, it in enumerate(iter(s)):
+            got = s[i]
+            np.testing.assert_array_equal(it["image"], got["image"])
+            np.testing.assert_array_equal(it["smpl_j2d"], got["smpl_j2d"])
