@@ -18,10 +18,10 @@ in three modes:
   1 + optim_steps updates (threshold is a traced scalar — same program).
 
 The flagship path runs backbone convs in bfloat16 (params/updates/GroupNorm
-stay float32), gated on a single-step precision check vs float32: one
-composed update from identical weights (no multi-frame Adam chain, whose
-chaotic noise amplification would swamp the comparison — see
-tests/test_engine.py TestChunkedScan).  ``record_lowerlevel`` is off: it only
+stay float32), gated on a TRAJECTORY-level precision check vs float32: 64
+adapted frames from identical weights, comparing the steady metric (last 32
+frames) and bounding the final weight drift against the Adam bound
+(docs/PARITY.md methodology).  ``record_lowerlevel`` is off: it only
 feeds the per-inner-step log (the reference's equivalent inference call,
 dynaboa_benchmark.py:142, is likewise log-only).
 
@@ -62,19 +62,19 @@ def make_frames(n_distinct: int):
             betas=jax.device_put(
                 rng.normal(scale=0.3, size=(1, 10)).astype(np.float32)),
             gender=jax.device_put(np.zeros((1,), np.int32)),
+            # explicit all-valid mask: keeps the bench programs structurally
+            # identical to the runner's (which attaches masks for window-
+            # tail padding), so compiled executables are shared
+            mask=jax.device_put(np.ones((1,), np.float32)),
         )
         for _ in range(n_distinct)
     ]
 
 
 def stack_chunk(frames, n):
-    import jax.numpy as jnp
+    from dynaboa_tpu.engine.bilevel import stack_frame_list
 
-    from dynaboa_tpu.engine.bilevel import Frame
-
-    return Frame(*[
-        jnp.stack([getattr(frames[i % len(frames)], k)for i in range(n)])
-        for k in Frame._fields])
+    return stack_frame_list([frames[i % len(frames)] for i in range(n)])
 
 
 def build(cfg):
@@ -85,7 +85,10 @@ def build(cfg):
 
 
 def measure_streaming(system, frames, n_frames, label, thr=None):
-    """Issue one async dispatch per frame; sync only at the end."""
+    """Issue one async dispatch per frame; sync only at the end.
+
+    Returns (fps, mean extra steps, final state, per-frame mpjpe array) —
+    the metric series backs the trajectory-level bf16 qualification."""
     import jax
 
     engine = system.engine
@@ -95,12 +98,13 @@ def measure_streaming(system, frames, n_frames, label, thr=None):
     jax.block_until_ready(out["mpjpe"])
     log(f"[{label}] compile+first step: {time.perf_counter() - t0:.1f}s")
 
-    outs = []
+    outs, mpjpes = [], []
     t0 = time.perf_counter()
     for i in range(n_frames):
         state, out = engine.step(state, frames[(i + 1) % len(frames)],
                                  cos_sim_threshold=thr)
         outs.append(out["optim_steps"])
+        mpjpes.append(out["mpjpe"])
     # end on a VALUE fetch, not block_until_ready: on the tunneled axon
     # platform block_until_ready can return early for chains of donated
     # async dispatches, but a host fetch cannot lie about data readiness
@@ -110,7 +114,83 @@ def measure_streaming(system, frames, n_frames, label, thr=None):
     extra = float(np.mean([np.asarray(o) for o in outs]))
     log(f"[{label}] streaming: {n_frames} frames in {dt:.2f}s -> "
         f"{fps:.2f} fps ({extra:.2f} extra steps/frame)")
-    return fps, extra, state
+    mpjpes = np.array([float(np.asarray(m).mean()) for m in mpjpes])
+    return fps, extra, state, mpjpes
+
+
+def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64):
+    """Trajectory-level bf16 qualification: adapt ``n_frames`` from
+    IDENTICAL weights on the SAME frame sequence in bf16 and fp32, and
+    bound (a) the relative difference of the steady metric (mean MPJPE over
+    the last half, where the weights have integrated n_frames of any
+    bf16-vs-fp32 error) and (b) the final weight drift against the Adam
+    bound (updates x lr x 4 — the docs/PARITY.md methodology: Adam's
+    per-step update magnitude is ~lr, and sign flips of near-zero-gradient
+    coordinates are bounded by a small multiple).
+
+    A single composed step can hide accumulation effects; this is the gate
+    bench.py uses to pick the flagship dtype (VERDICT r3 item 4)."""
+    import jax
+
+    fps16, extra16, st16, m16 = measure_streaming(
+        sys16, frames, n_frames, "bf16-traj")
+    fps32, extra32, st32, m32 = measure_streaming(
+        sys32, frames, n_frames, "fp32-traj")
+    tail = n_frames // 2
+    rel = abs(m16[tail:].mean() - m32[tail:].mean()) / max(
+        abs(m32[tail:].mean()), 1e-9)
+    n_updates = n_frames * (1.0 + 0.5 * (extra16 + extra32))
+    lr = sys16.engine.cfg.lr
+    drift = max(
+        float(np.abs(np.asarray(a, np.float32)
+                     - np.asarray(b, np.float32)).max())
+        for a, b in zip(jax.tree.leaves(st16.params),
+                        jax.tree.leaves(st32.params)))
+    drift_vs_bound = drift / (4.0 * n_updates * lr)
+    log(f"[bf16-traj] {n_frames}-frame trajectory: steady mpjpe "
+        f"bf16 {m16[tail:].mean():.4f} vs fp32 {m32[tail:].mean():.4f} "
+        f"({100 * rel:.3f}% rel); weight drift {drift:.2e} "
+        f"({drift_vs_bound:.2f}x of the {4.0 * n_updates * lr:.1e} "
+        f"Adam bound)")
+    return dict(rel=float(rel), drift=float(drift),
+                drift_vs_bound=float(drift_vs_bound),
+                fps16=fps16, fps32=fps32)
+
+
+def measure_realistic(system, frames, label, means=(1, 2, 3), n_frames=48):
+    """fps under PLAUSIBLE dynamic-gate distributions: per-frame extra-step
+    counts drawn from a geometric distribution truncated at optim_steps
+    (reference protocol caps at 7, dynaboa_benchmark.py:171-175), forced
+    via thr=-1 with per-frame traced caps — one compiled program serves
+    every distribution.  Synthetic weights converge instantly (~0 extras),
+    so the realistic 3DPW rate is unknown; these arms bracket it at
+    mean-1/2/3 extras/frame (VERDICT r3 item 1a)."""
+    engine = system.engine
+    cap_max = engine.cfg.optim_steps
+    rng = np.random.default_rng(7)
+    table = {}
+    for k in means:
+        p = 1.0 / (1.0 + k)   # geometric on {0,1,...} with mean k
+        caps = np.minimum(rng.geometric(p, size=n_frames) - 1, cap_max)
+        state = engine.init_state(system.params)
+        state, out = engine.step(state, frames[0], cos_sim_threshold=-1.0,
+                                 extra_cap=int(caps[0]))
+        float(np.asarray(out["mpjpe"]).sum())
+        extras = []
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            state, out = engine.step(state, frames[(i + 1) % len(frames)],
+                                     cos_sim_threshold=-1.0,
+                                     extra_cap=int(caps[i]))
+            extras.append(out["optim_steps"])
+        float(np.asarray(out["mpjpe"]).sum())
+        fps = n_frames / (time.perf_counter() - t0)
+        realized = float(np.mean([np.asarray(e) for e in extras]))
+        table[k] = {"fps": round(fps, 2),
+                    "realized_mean_extras": round(realized, 2)}
+        log(f"[{label}] realistic gate: geometric mean-{k} extras "
+            f"(realized {realized:.2f}) -> {fps:.2f} fps")
+    return table
 
 
 def measure_chunked(system, frames, label, thr=None, n_chunks=3):
@@ -235,18 +315,6 @@ def measure_runner(system, label, n_frames=96):
     return summary["fps"]
 
 
-def single_step_mpjpe(system, frame, label=""):
-    import jax
-
-    engine = system.engine
-    state = engine.init_state(system.params)
-    t0 = time.perf_counter()
-    _, out = engine.step(state, frame)
-    jax.block_until_ready(out["mpjpe"])
-    log(f"[{label}] step compile+first: {time.perf_counter() - t0:.1f}s")
-    return float(np.asarray(out["mpjpe"])[0])
-
-
 def main():
     import jax
 
@@ -258,34 +326,48 @@ def main():
 
     log("devices:", jax.devices())
     frames = make_frames(8)
-    n_frames = 40
 
     cfg32 = AdaptConfig(record_lowerlevel=False)
     cfg16 = cfg32.replace(compute_dtype="bfloat16")
     sys16 = build(cfg16)
     sys32 = build(cfg32)
 
-    # precision gate: ONE composed update from identical weights
-    m16 = single_step_mpjpe(sys16, frames[0], "bf16")
-    m32 = single_step_mpjpe(sys32, frames[0], "fp32")
-    prec_rel = abs(m16 - m32) / max(abs(m32), 1e-9)
-    log(f"single-step mpjpe bf16 {m16:.4f} vs fp32 {m32:.4f} "
-        f"({100 * prec_rel:.3f}% rel)")
-    use_bf16 = prec_rel < 0.02
+    # precision gate: TRAJECTORY-level (64 adapted frames from identical
+    # weights — the weights themselves integrate any bf16-vs-fp32 error;
+    # a single composed step cannot see that accumulation).  The two
+    # trajectory runs double as the streaming-fps measurements.
+    q = qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64)
+    use_bf16 = q["rel"] < 0.02
     flag_sys, flag_label = (sys16, "bf16") if use_bf16 else (sys32, "fp32")
+    fps_stream = q["fps16"] if use_bf16 else q["fps32"]
+    fps32_stream = q["fps32"]
 
-    fps_stream, extra, _ = measure_streaming(
-        flag_sys, frames, n_frames, flag_label)
-    wc_fps, wc_extra, _ = measure_streaming(
+    wc_fps, wc_extra, _, _ = measure_streaming(
         flag_sys, frames, 24, flag_label + "-worstcase", thr=-1.0)
-    fps32_stream, _, _ = measure_streaming(sys32, frames, n_frames, "fp32") \
-        if use_bf16 else (fps_stream, extra, None)
 
+    realistic = measure_realistic(flag_sys, frames, flag_label)
     curve = measure_curve(flag_sys, frames, flag_label)
     fps_chunk = measure_chunked(flag_sys, frames, flag_label)
     fps_windowed = measure_windowed(flag_sys, frames, flag_label)
     fps_parallel = measure_parallel_1dev(flag_sys, frames, flag_label)
     fps_runner = measure_runner(flag_sys, flag_label)
+
+    # worst-case-latency experiments (flag-gated protocol divergences,
+    # config.py fast_extra_updates / probe_res_factor; docs/PERF.md):
+    # measured at thr=-1 so every frame pays 1 + optim_steps updates
+    flag_cfg = cfg16 if use_bf16 else cfg32
+    wc_exp = {}
+    for name, c in [
+        ("fast_extra", flag_cfg.replace(fast_extra_updates=True)),
+        ("half_res_probe", flag_cfg.replace(probe_res_factor=2)),
+        ("fast_extra+half_res_probe",
+         flag_cfg.replace(fast_extra_updates=True, probe_res_factor=2)),
+    ]:
+        s = build(c)
+        f, _, _, _ = measure_streaming(
+            s, frames, 24, f"{flag_label}-wc[{name}]", thr=-1.0)
+        wc_exp[name] = round(f, 2)
+        del s
 
     fps = max(fps_stream, fps_chunk)
     print(json.dumps({
@@ -299,12 +381,15 @@ def main():
         "chunk_size": CHUNK,
         "worst_case_streaming_fps": round(wc_fps, 3),
         "worst_case_extra_steps": round(wc_extra, 2),
+        "worst_case_experiments_fps": wc_exp,
+        "realistic_gate_fps": {str(k): v for k, v in realistic.items()},
         "fps_vs_extra_steps": {str(k): v for k, v in curve.items()},
         "windowed8_aggregate_fps": round(fps_windowed, 3),
         "parallel_1dev_fps": round(fps_parallel, 3),
         "runner_steady_fps": round(fps_runner, 3),
         "fp32_streaming_fps": round(fps32_stream, 3),
-        "bf16_single_step_mpjpe_rel": round(prec_rel, 5),
+        "bf16_traj_mpjpe_rel": round(q["rel"], 5),
+        "bf16_traj_weight_drift_vs_adam_bound": round(q["drift_vs_bound"], 3),
     }))
 
 

@@ -27,6 +27,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="force the engine onto the CPU backend")
+    ap.add_argument("--frames", type=int, default=3,
+                    help="composed frames to run (>=3 pins the multi-frame "
+                         "Adam chain, teacher EMA drift and history-ring "
+                         "interaction at full scale — VERDICT r3 item 5)")
     ap.add_argument("--out", default=osp.join(ROOT, "PARITY_FULLSCALE.json"))
     args = ap.parse_args()
 
@@ -43,7 +47,7 @@ def main():
     from test_fullscale_parity import check_fullscale, run_fullscale
 
     t0 = time.time()
-    res = run_fullscale()
+    res = run_fullscale(n_frames=args.frames)
     res["wall_seconds"] = round(time.time() - t0, 1)
     res["backend"] = jax.default_backend()
     check_fullscale(res)

@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Long-run soak of the adaptation runtime (VERDICT r3 items 2 & 8).
+
+Two arms:
+
+* ``sequential``: thousands of synthetic frames through the StreamRunner
+  with periodic checkpointing, a mid-run kill + resume, and an injected
+  non-finite frame that must trigger ``auto_reset`` — while host RSS stays
+  bounded and fps stays stable window-over-window.
+* ``parallel``: a 3DPW-scale (35k-frame) synthetic stream through
+  ``--parallel_streams``-style lazy partitioning at S=8 — the r3 eager
+  partitioner would have materialized ~21 GB on this host; the lazy
+  StreamView path must hold RSS under 2 GB.
+
+Writes ``SOAK_r04.json`` at the repo root; numbers are quoted by
+docs/PERF.md.
+
+Usage:
+  python tools/soak.py sequential --frames 2500
+  python tools/soak.py parallel --frames 35000 --streams 8 --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+def peak_rss_mb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+class NaNInjectStream:
+    """Wraps a stream, replacing the image of chosen frames with NaNs —
+    drives the runner's divergence detection + auto_reset path the way a
+    real adaptation blow-up would."""
+
+    def __init__(self, base, nan_at=()):
+        self.base = base
+        self.nan_at = set(nan_at)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i):
+        it = dict(self.base[i])
+        if i in self.nan_at:
+            it["image"] = np.full_like(it["image"], np.nan)
+        return it
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+
+def build_tiny_system(compute_dtype="bfloat16"):
+    from dynaboa_tpu.apps.common import build_system
+    from dynaboa_tpu.config import AdaptConfig, Paths
+
+    cfg = AdaptConfig(record_lowerlevel=False, compute_dtype=compute_dtype)
+    return build_system(cfg, Paths(), synthetic_fallback=True,
+                        model_kwargs=dict(layers=(1, 1, 1, 1), width=16,
+                                          regressor_dim=128),
+                        num_vertices=256), cfg
+
+
+def build_full_system():
+    from dynaboa_tpu.apps.common import build_system
+    from dynaboa_tpu.config import AdaptConfig, Paths
+
+    cfg = AdaptConfig(record_lowerlevel=False, compute_dtype="bfloat16")
+    return build_system(cfg, Paths(), synthetic_fallback=True), cfg
+
+
+def soak_sequential(args) -> dict:
+    from dynaboa_tpu.data import SyntheticStream
+    from dynaboa_tpu.engine.runner import StreamRunner
+
+    system, cfg = (build_tiny_system() if args.tiny else build_full_system())
+    N = args.frames
+    ckpt_every = args.checkpoint_every
+    nan_at = {N // 3}              # one injected divergence
+    stream = NaNInjectStream(SyntheticStream(num_frames=N, seed=11),
+                             nan_at=nan_at)
+    exp = args.expdir
+    rss0 = rss_mb()
+
+    # phase A: run to just past half, checkpointing periodically, then stop
+    # (simulates a kill: the runner object is discarded)
+    half = (N // 2 // ckpt_every) * ckpt_every
+    runner = StreamRunner(system.engine, exp, checkpoint_every=ckpt_every,
+                          log_every=args.log_every)
+    state = system.engine.init_state(system.params)
+    t0 = time.time()
+    runner.run(stream, state, max_frames=half, auto_reset=True)
+    resets_a = runner.reset_count
+    frames_a = runner.frames_seen
+    rss_a = rss_mb()
+    wall_a = time.time() - t0
+
+    # phase B: a FRESH runner resumes from the checkpoint and finishes
+    runner2 = StreamRunner(system.engine, exp, checkpoint_every=ckpt_every,
+                           log_every=args.log_every)
+    state2 = system.engine.init_state(system.params)
+    t0 = time.time()
+    _, summary = runner2.run(stream, state2,
+                             resume_from=osp.join(exp, "checkpoint.npz"),
+                             auto_reset=True)
+    wall_b = time.time() - t0
+    rss_b = rss_mb()
+
+    # fps stability: per-window fps over phase B's steady region
+    st = runner2.step_times[runner2._first_batch_frames or 32:]
+    W = 500
+    if len(st) >= W:
+        windows = [round(1.0 / float(np.mean(st[i:i + W])), 2)
+                   for i in range(0, len(st) - W + 1, W)]
+    elif st:
+        windows = [round(1.0 / float(np.mean(st)), 2)]
+    else:
+        windows = []
+    res = {
+        "arm": "sequential",
+        "frames_total": N,
+        "tiny": bool(args.tiny),
+        "compute_dtype": cfg.compute_dtype,
+        "phase_a_frames": frames_a,
+        "phase_b_frames": runner2.frames_seen,
+        "resumed_at": int(half),
+        "every_frame_seen_once": frames_a + runner2.frames_seen == N,
+        "injected_nan_frames": sorted(nan_at),
+        "auto_resets": resets_a + runner2.reset_count,
+        "rss_mb": {"start": round(rss0, 1), "after_phase_a": round(rss_a, 1),
+                   "end": round(rss_b, 1), "peak": round(peak_rss_mb(), 1)},
+        "rss_growth_phase_b_mb": round(rss_b - rss_a, 1),
+        "fps_windows_500": windows,
+        "fps_steady": round(1.0 / float(np.mean(st)), 2) if st else None,
+        "wall_seconds": round(wall_a + wall_b, 1),
+    }
+    assert res["every_frame_seen_once"], res
+    assert res["auto_resets"] >= 1, "injected NaN did not trigger auto_reset"
+    assert res["rss_growth_phase_b_mb"] < args.rss_growth_limit_mb, res
+    return res
+
+
+def soak_parallel(args) -> dict:
+    from dynaboa_tpu.data import SyntheticStream
+    from dynaboa_tpu.parallel.streams import (make_mesh, partition_items,
+                                              run_parallel)
+
+    system, cfg = (build_tiny_system() if args.tiny else build_full_system())
+    N, S = args.frames, args.streams
+
+    class TrackedSynthetic(SyntheticStream):
+        # 37-track structure mirroring 3DPW #PS (pw3d.py:34-35): whole
+        # tracks per stream, round-robin
+        @property
+        def seq_lengths(self):
+            n_tracks = 37
+            per = self.n // n_tracks
+            tail = self.n - per * (n_tracks - 1)
+            return [per] * (n_tracks - 1) + [tail]
+
+    stream = TrackedSynthetic(num_frames=N, seed=13)
+    rss0 = rss_mb()
+    groups = partition_items(stream, S)
+    t0 = time.time()
+    summary = run_parallel(system.engine, system.params, groups,
+                           mesh=make_mesh(1))
+    res = {
+        "arm": "parallel",
+        "frames_total": N,
+        "streams": S,
+        "tiny": bool(args.tiny),
+        "frames_run": summary["frames"],
+        "aggregate_fps": round(summary["fps"], 2),
+        "mpjpe": round(summary["mpjpe"], 3),
+        "rss_mb": {"start": round(rss0, 1), "end": round(rss_mb(), 1),
+                   "peak": round(peak_rss_mb(), 1)},
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+    assert res["frames_run"] == N, res
+    assert res["rss_mb"]["peak"] < args.rss_limit_mb, (
+        f"peak RSS {res['rss_mb']['peak']} MB exceeds the "
+        f"{args.rss_limit_mb} MB bound — the lazy partition is leaking")
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("arm", choices=["sequential", "parallel"])
+    ap.add_argument("--frames", type=int, default=2500)
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--checkpoint_every", type=int, default=250)
+    ap.add_argument("--log_every", type=int, default=500)
+    ap.add_argument("--rss_limit_mb", type=float, default=2048.0)
+    ap.add_argument("--rss_growth_limit_mb", type=float, default=500.0)
+    ap.add_argument("--expdir", default="/tmp/soak_exp")
+    ap.add_argument("--out", default=osp.join(ROOT, "SOAK_r04.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dynaboa_tpu
+
+    dynaboa_tpu.enable_compilation_cache()
+
+    res = (soak_sequential(args) if args.arm == "sequential"
+           else soak_parallel(args))
+    res["backend"] = jax.default_backend()
+
+    existing = {}
+    if osp.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+    existing[res["arm"]] = res
+    with open(args.out, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
