@@ -95,7 +95,11 @@ def measure_streaming(system, frames, n_frames, label, thr=None):
     state = engine.init_state(system.params)
     t0 = time.perf_counter()
     state, out = engine.step(state, frames[0], cos_sim_threshold=thr)
-    jax.block_until_ready(out["mpjpe"])
+    # the warmup must end on a VALUE fetch: block_until_ready returns early
+    # for donated chains here, which let the tunnel service's slow first
+    # execution of a fresh program leak INTO the timed region (measured
+    # 0.36-0.55 "fps" for the first arm of a process, twice)
+    float(np.asarray(out["mpjpe"]).sum())
     log(f"[{label}] compile+first step: {time.perf_counter() - t0:.1f}s")
 
     outs, mpjpes = [], []
@@ -121,24 +125,40 @@ def measure_streaming(system, frames, n_frames, label, thr=None):
 def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64):
     """Trajectory-level bf16 qualification: adapt ``n_frames`` from
     IDENTICAL weights on the SAME frame sequence in bf16 and fp32, and
-    bound (a) the relative difference of the steady metric (mean MPJPE over
-    the last half, where the weights have integrated n_frames of any
-    bf16-vs-fp32 error) and (b) the final weight drift against the Adam
-    bound (updates x lr x 4 — the docs/PARITY.md methodology: Adam's
-    per-step update magnitude is ~lr, and sign flips of near-zero-gradient
-    coordinates are bounded by a small multiple).
+    bound (a) the final weight drift against the Adam bound (updates x lr
+    x 4 — the docs/PARITY.md methodology: Adam's per-step update magnitude
+    is ~lr, and sign flips of near-zero-gradient coordinates are bounded by
+    a small multiple) and (b) the relative difference of the steady metric
+    (mean MPJPE over the last half) measured AGAINST A CHAOS CONTROL.
 
-    A single composed step can hide accumulation effects; this is the gate
-    bench.py uses to pick the flagship dtype (VERDICT r3 item 4)."""
+    The control: a third fp32 run from one-ULP-perturbed initial weights.
+    Adaptation trajectories are chaotic (64 chained Adam updates amplify
+    any infinitesimal difference), so the raw bf16-vs-fp32 metric delta is
+    dominated by chaos, not precision; bf16 is qualified if its metric
+    delta is within the chaos envelope (<= max(2%, 2x the control's
+    delta)) AND its weight drift respects the Adam bound.  A single
+    composed step can hide accumulation effects; this is the gate bench.py
+    uses to pick the flagship dtype (VERDICT r3 item 4)."""
     import jax
 
     fps16, extra16, st16, m16 = measure_streaming(
         sys16, frames, n_frames, "bf16-traj")
     fps32, extra32, st32, m32 = measure_streaming(
         sys32, frames, n_frames, "fp32-traj")
+
+    # chaos control: same program/config/dtype as fp32, weights nudged by
+    # one ULP — its steady-metric delta vs fp32 IS the chaos envelope
+    import dataclasses
+
+    _, _, _, mctl = measure_streaming(
+        dataclasses.replace(sys32, params=jax.tree.map(
+            lambda a: (a * (1.0 + 1.2e-7)).astype(a.dtype), sys32.params)),
+        frames, n_frames, "fp32-chaos-ctl")
+
     tail = n_frames // 2
-    rel = abs(m16[tail:].mean() - m32[tail:].mean()) / max(
-        abs(m32[tail:].mean()), 1e-9)
+    steady32 = max(abs(m32[tail:].mean()), 1e-9)
+    rel = abs(m16[tail:].mean() - m32[tail:].mean()) / steady32
+    rel_ctl = abs(mctl[tail:].mean() - m32[tail:].mean()) / steady32
     n_updates = n_frames * (1.0 + 0.5 * (extra16 + extra32))
     lr = sys16.engine.cfg.lr
     drift = max(
@@ -149,10 +169,12 @@ def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64):
     drift_vs_bound = drift / (4.0 * n_updates * lr)
     log(f"[bf16-traj] {n_frames}-frame trajectory: steady mpjpe "
         f"bf16 {m16[tail:].mean():.4f} vs fp32 {m32[tail:].mean():.4f} "
-        f"({100 * rel:.3f}% rel); weight drift {drift:.2e} "
+        f"({100 * rel:.3f}% rel; chaos control {100 * rel_ctl:.3f}%); "
+        f"weight drift {drift:.2e} "
         f"({drift_vs_bound:.2f}x of the {4.0 * n_updates * lr:.1e} "
         f"Adam bound)")
-    return dict(rel=float(rel), drift=float(drift),
+    return dict(rel=float(rel), rel_chaos_control=float(rel_ctl),
+                drift=float(drift),
                 drift_vs_bound=float(drift_vs_bound),
                 fps16=fps16, fps32=fps32)
 
@@ -201,7 +223,7 @@ def measure_chunked(system, frames, label, thr=None, n_chunks=3):
     state = engine.init_state(system.params)
     t0 = time.perf_counter()
     state, out = engine.run_chunk(state, chunk, cos_sim_threshold=thr)
-    jax.block_until_ready(out["mpjpe"])
+    float(np.asarray(out["mpjpe"]).sum())   # see measure_streaming note
     log(f"[{label}] chunk compile+first: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
@@ -337,7 +359,10 @@ def main():
     # a single composed step cannot see that accumulation).  The two
     # trajectory runs double as the streaming-fps measurements.
     q = qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64)
-    use_bf16 = q["rel"] < 0.02
+    # gate: metric delta within the chaos envelope AND weight drift within
+    # the Adam bound (see qualify_bf16_trajectory)
+    use_bf16 = (q["rel"] <= max(0.02, 2.0 * q["rel_chaos_control"])
+                and q["drift_vs_bound"] <= 1.0)
     flag_sys, flag_label = (sys16, "bf16") if use_bf16 else (sys32, "fp32")
     fps_stream = q["fps16"] if use_bf16 else q["fps32"]
     fps32_stream = q["fps32"]
@@ -389,6 +414,7 @@ def main():
         "runner_steady_fps": round(fps_runner, 3),
         "fp32_streaming_fps": round(fps32_stream, 3),
         "bf16_traj_mpjpe_rel": round(q["rel"], 5),
+        "bf16_traj_mpjpe_rel_chaos_control": round(q["rel_chaos_control"], 5),
         "bf16_traj_weight_drift_vs_adam_bound": round(q["drift_vs_bound"], 3),
     }))
 
