@@ -23,7 +23,8 @@ import jax
 import numpy as np
 
 from dynaboa_tpu.engine.bilevel import AdaptState, BilevelEngine, Frame
-from dynaboa_tpu.engine.checkpoint import load_state, save_state
+from dynaboa_tpu.engine.checkpoint import (AsyncCheckpointer, load_state,
+                                           save_state)
 from dynaboa_tpu.metrics.writer import ScalarWriter
 
 
@@ -235,6 +236,7 @@ class StreamRunner:
         self.img_root = img_root or ""
         self.faces = faces
         self.defer_window = max(1, defer_window)
+        self._ckpt = AsyncCheckpointer()
 
         self.reset_records()
 
@@ -460,7 +462,12 @@ class StreamRunner:
                 if self.checkpoint_every and (i + 1) % self.checkpoint_every == 0:
                     flush()
                     materialize()
-                    save_state(osp.join(self.exppath, "checkpoint.npz"), state)
+                    # async: snapshot on device (~ms), fetch + write in a
+                    # worker thread overlapping subsequent dispatches (the
+                    # blocking 434 MB fetch+write cost ~70 s/checkpoint on
+                    # the tunneled TPU); atomic rename on completion
+                    self._ckpt.submit(
+                        osp.join(self.exppath, "checkpoint.npz"), state)
                 if (i + 1) % self.log_every == 0 and self.mpjpe_all:
                     print(
                         f"Step:{i}: MPJPE:{np.mean(self.mpjpe_all):.2f}, "
@@ -491,6 +498,7 @@ class StreamRunner:
             flush()
             materialize()
         finally:
+            self._ckpt.wait()   # checkpoint.npz is complete once run returns
             if self.profile_dir:
                 jax.profiler.stop_trace()
 
@@ -547,8 +555,12 @@ class StreamRunner:
             scalars["feat_sim/tap12"] = float(sims[12])
         if "per_step_sims" in out:
             nupd = int(out["optim_steps"]) + 1
-            self.step_sims[i] = np.asarray(out["per_step_sims"])[:nupd]
-            self.step_losses[i] = np.asarray(out["per_step_loss"])[:nupd]
+            # .copy(): these slices are views into the packed window buffer
+            # (unpack_outputs) — retaining a view per frame would keep every
+            # window's whole flat buffer (~85 KB/frame) alive for the run
+            self.step_sims[i] = np.asarray(out["per_step_sims"])[:nupd].copy()
+            self.step_losses[i] = np.asarray(
+                out["per_step_loss"])[:nupd].copy()
             if "per_step_mpjpe" in out:
                 self.step_stats[i] = tuple(
                     np.asarray(out[k])[:nupd].mean(-1)

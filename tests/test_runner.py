@@ -74,6 +74,31 @@ class TestRunner:
                         jax.tree.leaves(s_resumed.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_periodic_async_checkpoint_resume(self, engine, tmp_path):
+        """checkpoint_every uses AsyncCheckpointer: the write happens in a
+        worker thread, but run() must not return before the file is complete,
+        and a fresh runner must resume from it bit-exactly."""
+        eng, params = engine
+        stream = SyntheticStream(num_frames=6, img_res=IMG, seed=3)
+
+        r1 = StreamRunner(eng, str(tmp_path / "a"), log_every=100)
+        s_full, _ = r1.run(stream, eng.init_state(params, img_res=IMG))
+
+        r2 = StreamRunner(eng, str(tmp_path / "b"), checkpoint_every=2,
+                          log_every=100)
+        r2.run(stream, eng.init_state(params, img_res=IMG), max_frames=4)
+        ckpt = str(tmp_path / "b" / "checkpoint.npz")
+        assert osp.exists(ckpt)
+        assert not osp.exists(ckpt + ".tmp")   # atomic rename completed
+
+        r3 = StreamRunner(eng, str(tmp_path / "c"), log_every=100)
+        s_resumed, _ = r3.run(stream, eng.init_state(params, img_res=IMG),
+                              resume_from=ckpt)
+        assert int(s_resumed.step) == int(s_full.step) == 6
+        for a, b in zip(jax.tree.leaves(s_full.params),
+                        jax.tree.leaves(s_resumed.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_state_roundtrip(self, engine, tmp_path):
         eng, params = engine
         state = eng.init_state(params, img_res=IMG)
