@@ -5,17 +5,37 @@ mid-run, so a crashed stream cannot resume (SURVEY §5).  Here the checkpoint
 is the full ``AdaptState`` (params, teacher params, Adam moments, history
 ring, frame index, rng key), so a stream resumes bit-exactly.
 
-Fetch path: the state's ~300 leaves are packed on device into one flat
-buffer per dtype (one small jitted concat) and fetched in a handful of
-transfers.  A leaf-by-leaf ``np.asarray`` fetch costs one blocking tunnel
-round trip per leaf (~31 ms each on the axon setup, docs/PERF.md) — ~10 s
-of pure latency per 434 MB full-model checkpoint before transfer time.
-The on-disk format (``leaf_%04d`` npz entries) is unchanged.
+Memory/latency design (round 4, measured on the tunneled TPU):
+
+* The state's ~300 leaves pack ON DEVICE into one flat buffer per dtype
+  (a cached jitted concat).  A leaf-by-leaf ``np.asarray`` fetch costs one
+  blocking round trip per leaf (~31 ms each) — ~70 s per 434 MB full-model
+  checkpoint; packed it is bandwidth-bound (~14 s).
+* The flat buffers are fetched and written to disk in ~32 MB slices, so
+  the host never materializes the whole checkpoint — in-flight host memory
+  is bounded by the slice size, not the state size.  (The previous
+  whole-buffer fetch put a ~900 MB transient on this 1-core host per
+  checkpoint; under glibc's per-thread arenas the freed high-water was
+  retained per worker thread and ratcheted RSS by gigabytes over a
+  2500-frame soak.)
+* ``AsyncCheckpointer`` runs the fetch+write on ONE persistent worker
+  thread (a fresh thread per checkpoint would land each checkpoint's
+  allocations in a different glibc arena, multiplying the retained
+  high-water) and trims the heap after each write.
+
+On-disk format (v2): one npz with a JSON manifest entry plus one streamed
+flat entry per dtype.  ``load_state`` also reads the v1 per-leaf format
+(``leaf_%04d`` entries) for old checkpoints.
 """
 
 from __future__ import annotations
 
+import ctypes
+import json
 import os
+import queue
+import threading
+import zipfile
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +44,14 @@ import numpy as np
 from dynaboa_tpu.engine.bilevel import AdaptState
 
 _pack_cache: dict = {}
+_SLICE_ELEMS = 8 << 20          # 8M elements per fetched slice (32 MB fp32)
+
+
+def _malloc_trim():
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:
+        pass
 
 
 def _pack_by_dtype(leaves):
@@ -48,42 +76,76 @@ def _pack_state(state: AdaptState):
     if key not in _pack_cache:
         _pack_cache[key] = jax.jit(_pack_by_dtype)
     packed = _pack_cache[key](arrs)
+    manifest = {
+        "version": 2,
+        "leaves": [
+            ({"kind": "array", "dtype": str(a.dtype),
+              "shape": list(np.shape(a))} if hasattr(a, "dtype")
+             else {"kind": "py", "value": a})
+            for a in leaves],
+    }
+    return manifest, packed
+
+
+def _npy_header(dtype: np.dtype, n: int) -> bytes:
+    """npy v1 header for a 1-D array of ``n`` items of ``dtype``."""
+    import io
+
+    buf = io.BytesIO()
+    np.lib.format.write_array_header_1_0(
+        buf, {"descr": np.lib.format.dtype_to_descr(np.dtype(dtype)),
+              "fortran_order": False, "shape": (n,)})
+    return buf.getvalue()
+
+
+def _write_packed(path: str, manifest: dict, packed: dict) -> None:
+    """Stream the packed buffers into an npz, ~32 MB of host memory at a
+    time; atomic rename on completion so a crash never leaves a torn file."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+        meta = json.dumps(manifest).encode()
+        zf.writestr("meta.json", meta)
+        for k, buf in packed.items():
+            n = int(buf.shape[0]) if buf.shape else 1
+            with zf.open(f"packed_{k}.npy", "w", force_zip64=True) as f:
+                f.write(_npy_header(np.dtype(k), n))
+                if n <= _SLICE_ELEMS:
+                    f.write(np.asarray(buf).tobytes())
+                    continue
+                # one traced-offset dynamic_slice program per (dtype, n) —
+                # literal-offset slices would compile one program per offset
+                key = ("slice", k, n, _SLICE_ELEMS)
+                if key not in _pack_cache:
+                    _pack_cache[key] = jax.jit(
+                        lambda b, o, C=_SLICE_ELEMS: jax.lax.dynamic_slice(
+                            b, (o,), (C,)))
+                slicer = _pack_cache[key]
+                for off in range(0, n, _SLICE_ELEMS):
+                    # dynamic_slice clamps the start so the final window
+                    # overlaps the tail; trim on host to the remainder
+                    sl = np.asarray(slicer(buf, off))
+                    f.write(sl[:n - off].tobytes())
+                    del sl
+    os.replace(tmp, path)
+    _malloc_trim()
+
+
+def fetch_state(state: AdaptState) -> list[np.ndarray]:
+    """Device->host fetch of every leaf via per-dtype packed buffers."""
+    leaves, _ = jax.tree.flatten(state)
+    _, packed = _pack_state(state)
     for buf in packed.values():
         try:
             buf.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
-    return leaves, arr_idx, arrs, packed
-
-
-def _write_packed(path: str, leaves, arr_idx, arrs, packed) -> None:
     host = {k: np.asarray(v) for k, v in packed.items()}
     offs = {k: 0 for k in host}
+    arr_idx = [i for i, l in enumerate(leaves) if hasattr(l, "dtype")]
     out = list(leaves)
-    for i, a in zip(arr_idx, arrs):
-        k = str(a.dtype)
-        n = int(np.prod(a.shape)) if a.shape else 1
-        out[i] = host[k][offs[k]:offs[k] + n].reshape(a.shape)
-        offs[k] += n
-    arrays = {f"leaf_{i:04d}": np.asarray(x) for i, x in enumerate(out)}
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:   # file object: savez must not append ".npz"
-        np.savez(f, **arrays)
-    os.replace(tmp, path)       # atomic: a crash never leaves a torn file
-
-
-def fetch_state(state: AdaptState) -> list[np.ndarray]:
-    """Device->host fetch of every leaf via per-dtype packed buffers.
-
-    A leaf-by-leaf fetch costs one blocking round trip per leaf; packed,
-    the full-model 434 MB state moves in a handful of transfers (warm
-    save 70 s -> 14 s measured on the tunneled TPU)."""
-    leaves, arr_idx, arrs, packed = _pack_state(state)
-    host = {k: np.asarray(v) for k, v in packed.items()}
-    offs = {k: 0 for k in host}
-    out = list(leaves)
-    for i, a in zip(arr_idx, arrs):
+    for i in arr_idx:
+        a = leaves[i]
         k = str(a.dtype)
         n = int(np.prod(a.shape)) if a.shape else 1
         out[i] = host[k][offs[k]:offs[k] + n].reshape(a.shape).copy()
@@ -92,42 +154,56 @@ def fetch_state(state: AdaptState) -> list[np.ndarray]:
 
 
 def save_state(path: str, state: AdaptState) -> None:
-    """Serialize the full adaptation state to one .npz file."""
+    """Serialize the full adaptation state to one (v2, streamed) npz."""
     _write_packed(path, *_pack_state(state))
 
 
-class AsyncCheckpointer:
-    """Checkpoint without stalling the dispatch loop.
-
-    ``submit`` snapshots the state on device (a ~ms pack dispatch) and hands
-    the fetch + npz write to a worker thread — the device->host transfer and
-    the (atomic) file write overlap subsequent adaptation dispatches; numpy
-    releases the GIL for the transfer, so even this 1-core host keeps
-    dispatching.  At most one write is in flight: a new submit first joins
-    the previous one (checkpoints are ordered, never interleaved)."""
-
-    def __init__(self):
-        self._thread = None
-
-    def submit(self, path: str, state: AdaptState) -> None:
-        import threading
-
-        self.wait()
-        args = _pack_state(state)
-        self._thread = threading.Thread(
-            target=_write_packed, args=(path,) + args, daemon=True)
-        self._thread.start()
-
-    def wait(self) -> None:
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
+def _load_v2(zf: zipfile.ZipFile, template: AdaptState) -> AdaptState:
+    manifest = json.loads(zf.read("meta.json").decode())
+    leaves, treedef = jax.tree.flatten(template)
+    if len(manifest["leaves"]) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(manifest['leaves'])} leaves, template "
+            f"has {len(leaves)} — structure mismatch")
+    packed = {}
+    for name in zf.namelist():
+        if name.startswith("packed_") and name.endswith(".npy"):
+            with zf.open(name) as f:
+                packed[name[len("packed_"):-len(".npy")]] = (
+                    np.lib.format.read_array(f))
+    offs = {k: 0 for k in packed}
+    restored = []
+    for rec, leaf in zip(manifest["leaves"], leaves):
+        if rec["kind"] == "py":
+            restored.append(rec["value"])
+            continue
+        k, shape = rec["dtype"], tuple(rec["shape"])
+        if hasattr(leaf, "dtype") and shape != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"checkpoint leaf shape {shape} != template "
+                f"{np.shape(leaf)}")
+        n = int(np.prod(shape)) if shape else 1
+        arr = packed[k][offs[k]:offs[k] + n].reshape(shape)
+        offs[k] += n
+        restored.append(jnp.asarray(arr, dtype=getattr(leaf, "dtype", None)))
+    return jax.tree.unflatten(treedef, restored)
 
 
 def load_state(path: str, template: AdaptState) -> AdaptState:
     """Restore a checkpoint into the structure of ``template`` (the treedef
-    carries the pytree layout; array dtypes/shapes must match)."""
-    data = np.load(path)
+    carries the pytree layout; array dtypes/shapes must match).  Reads both
+    the streamed v2 format and the legacy per-leaf v1 npz."""
+    with zipfile.ZipFile(path) as zf:
+        if "meta.json" in zf.namelist():
+            out = _load_v2(zf, template)
+            # force the host->device uploads to complete BEFORE trimming:
+            # the client pins source host buffers until the transfer lands,
+            # so an early trim leaves the load's ~434 MB high-water in the
+            # heap for the rest of the run
+            jax.block_until_ready(out)   # ~10 s of RTTs, once per resume
+            _malloc_trim()
+            return out
+    data = np.load(path)                      # v1: leaf_%04d entries
     leaves, treedef = jax.tree.flatten(template)
     restored = []
     for i, leaf in enumerate(leaves):
@@ -136,5 +212,46 @@ def load_state(path: str, template: AdaptState) -> AdaptState:
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != template "
                 f"{np.shape(leaf)}")
-        restored.append(jax.numpy.asarray(arr, dtype=getattr(leaf, "dtype", None)))
+        restored.append(jnp.asarray(arr, dtype=getattr(leaf, "dtype", None)))
     return jax.tree.unflatten(treedef, restored)
+
+
+class AsyncCheckpointer:
+    """Checkpoint without stalling the dispatch loop.
+
+    ``submit`` snapshots the state on device (a ~ms pack dispatch) and hands
+    the streamed fetch+write to ONE persistent worker thread — the transfer
+    and file write overlap subsequent adaptation dispatches (numpy releases
+    the GIL for the transfer), host in-flight memory stays bounded by the
+    slice size, and reusing one thread keeps every checkpoint's allocations
+    in the same glibc arena.  At most one write is in flight: a new submit
+    first waits for the previous one (checkpoints are ordered)."""
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+        self._done = threading.Event()
+        self._done.set()
+        self._thread: threading.Thread | None = None
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, manifest, packed = item
+            try:
+                _write_packed(path, manifest, packed)
+            finally:
+                self._done.set()
+
+    def submit(self, path: str, state: AdaptState) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        self.wait()
+        manifest, packed = _pack_state(state)
+        self._done.clear()
+        self._q.put((path, manifest, packed))
+
+    def wait(self) -> None:
+        self._done.wait()

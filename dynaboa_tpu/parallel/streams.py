@@ -41,6 +41,8 @@ streams on a device instead of vmapping them, so any S works.
 
 from __future__ import annotations
 
+from typing import Any
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -231,6 +233,23 @@ def stack_outs(outs: list[dict]) -> dict:
             for k in outs[0]}
 
 
+_stack_metrics_cache: dict = {}
+
+
+def _stack_metrics_jit(window: list[dict]):
+    """Pack a window of per-frame metric dicts into one (3, W, B) device
+    array — one compiled program per window length (the steady length is
+    fixed; only each stream's tail differs)."""
+    n = len(window)
+    fn = _stack_metrics_cache.get(n)
+    if fn is None:
+        fn = jax.jit(lambda w: jnp.stack(
+            [jnp.stack([o[k] for o in w])
+             for k in ("mpjpe", "pampjpe", "pve")]))
+        _stack_metrics_cache[n] = fn
+    return fn(window)
+
+
 class StreamView:
     """Lazy view of selected indices of an underlying stream.
 
@@ -309,6 +328,29 @@ def run_parallel(engine, params, groups: list[list[dict]],
     D = len(par.devices)
     pos = [0] * S
     outs: list[list[dict]] = [[] for _ in range(S)]
+    # Per-frame metric scalars are flushed to host in packed windows so a
+    # 35k-frame run never holds tens of thousands of live device buffers
+    # (or a 4k-operand stack program at the end).  Each flush packs the
+    # window into one (3, W) stack whose device->host copy starts
+    # immediately and is CONSUMED one flush later, overlapping the round
+    # trip with further dispatches.
+    FLUSH = 256
+    host_outs: list[list[np.ndarray]] = [[] for _ in range(S)]
+    inflight: list[Any] = [None] * S
+
+    def _start_flush(s):
+        stacked = _stack_metrics_jit(outs[s])
+        try:
+            stacked.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        outs[s].clear()
+        return stacked
+
+    def _drain(s):
+        if inflight[s] is not None:
+            host_outs[s].append(np.asarray(inflight[s]))
+            inflight[s] = None
 
     import collections
     from concurrent.futures import ThreadPoolExecutor
@@ -348,6 +390,9 @@ def run_parallel(engine, params, groups: list[list[dict]],
             states[s], out = engine.step(
                 states[s], frame, assets=par._assets_for(par.devices[s % D]))
             outs[s].append({k: out[k] for k in ("mpjpe", "pampjpe", "pve")})
+            if len(outs[s]) >= FLUSH:
+                _drain(s)
+                inflight[s] = _start_flush(s)
         if first_round:
             # warmup barrier: compile / cache-load / the service's slow
             # first execution complete here, outside the timed region
@@ -360,10 +405,16 @@ def run_parallel(engine, params, groups: list[list[dict]],
     pool.shutdown(wait=True)
     per_stream = []
     for s in range(S):
-        packed = {k: np.asarray(jnp.stack([o[k] for o in outs[s]]))
-                  for k in ("mpjpe", "pampjpe", "pve")}
-        per_stream.append({k: float(v.mean()) for k, v in packed.items()}
-                          | {"frames": len(outs[s])})
+        _drain(s)
+        if outs[s]:
+            inflight[s] = _start_flush(s)
+            _drain(s)
+        win = (np.concatenate(host_outs[s], axis=1) if host_outs[s]
+               else np.zeros((3, 0, 1)))
+        per_stream.append(
+            {k: float(win[j].mean())
+             for j, k in enumerate(("mpjpe", "pampjpe", "pve"))}
+            | {"frames": win.shape[1]})
     total = sum(p["frames"] for p in per_stream)
     # the timer starts after the warmup round; exclude those S frames
     fps = max(total - S, 1) / (time.perf_counter() - t0)

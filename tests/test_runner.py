@@ -108,6 +108,27 @@ class TestRunner:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_state_roundtrip_multislice(self, engine, tmp_path, monkeypatch):
+        """The streamed writer fetches flat buffers in _SLICE_ELEMS windows
+        (clamped dynamic_slice, tail trimmed on host).  Tiny test states fit
+        one window, so shrink the window to force the multi-slice path —
+        including a non-divisible tail — and require bit-exactness."""
+        from dynaboa_tpu.engine import checkpoint as ck
+
+        eng, params = engine
+        state = eng.init_state(params, img_res=IMG)
+        n_f32 = sum(int(np.prod(np.shape(x)))
+                    for x in jax.tree.leaves(state)
+                    if hasattr(x, "dtype") and x.dtype == np.float32)
+        slice_elems = n_f32 // 3 - 7          # ≥3 windows, ragged tail
+        assert slice_elems > 0
+        monkeypatch.setattr(ck, "_SLICE_ELEMS", slice_elems)
+        p = str(tmp_path / "ck_ms.npz")
+        ck.save_state(p, state)
+        restored = ck.load_state(p, state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_fused_preprocess_stream_mode(self):
         """--fused_preprocess parity: a raw-frame item cropped on device must
         match the host crop path (reference utils/dataprocess.py:48-96) on
