@@ -47,11 +47,20 @@ _pack_cache: dict = {}
 _SLICE_ELEMS = 8 << 20          # 8M elements per fetched slice (32 MB fp32)
 
 
-def _malloc_trim():
+def malloc_trim():
+    """Return freed heap pages to the OS (all glibc arenas).
+
+    Long-running loops that allocate ~600 KB frame buffers on worker
+    threads and free them on the main thread ratchet the per-thread-arena
+    high-water without this — the checkpoint writer and the parallel
+    dispatch loop both call it periodically (no-op off glibc)."""
     try:
         ctypes.CDLL("libc.so.6").malloc_trim(0)
     except OSError:
         pass
+
+
+_malloc_trim = malloc_trim
 
 
 def _pack_by_dtype(leaves):

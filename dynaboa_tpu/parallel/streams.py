@@ -54,6 +54,7 @@ except ImportError:                     # older jax
     from jax.experimental.shard_map import shard_map
 
 from dynaboa_tpu.engine.bilevel import AdaptState, BilevelEngine, Frame
+from dynaboa_tpu.engine.checkpoint import malloc_trim
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "stream") -> Mesh:
@@ -299,9 +300,20 @@ def partition_items(stream, n_groups: int) -> list[StreamView]:
     return [StreamView(stream, g) for g in idx_groups]
 
 
+def _rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return float("nan")
+
+
 def run_parallel(engine, params, groups: list[list[dict]],
                  mesh: Mesh | None = None, keypoint_source: str = "gt",
-                 log=print) -> dict:
+                 log=print, progress_every: int = 0) -> dict:
     """Adapt S independent streams concurrently across the mesh devices —
     the product entry for the scale-out path (``--parallel_streams``).
 
@@ -311,6 +323,10 @@ def run_parallel(engine, params, groups: list[list[dict]],
     whole sequence-sorted set).  Streams of different lengths simply stop
     dispatching when exhausted.  Per-frame metric scalars stay on device
     until the end (one packed fetch per stream).
+
+    ``progress_every`` > 0 logs a line every N dispatched frames with the
+    aggregate dispatch rate and host RSS — 3DPW-scale runs take tens of
+    minutes and would otherwise be silent until the final summary.
 
     Returns {"mpjpe", "pampjpe", "pve", "frames", "fps",
     "per_stream": [...]}."""
@@ -333,8 +349,13 @@ def run_parallel(engine, params, groups: list[list[dict]],
     # (or a 4k-operand stack program at the end).  Each flush packs the
     # window into one (3, W) stack whose device->host copy starts
     # immediately and is CONSUMED one flush later, overlapping the round
-    # trip with further dispatches.
-    FLUSH = 256
+    # trip with further dispatches.  Draining flush k-1 before starting
+    # flush k also BOUNDS in-flight work: a stream can run at most
+    # 2*FLUSH frames ahead of its own execution, so host memory pinned by
+    # dispatched-but-unexecuted frames stays O(S * FLUSH) however slow the
+    # device is (a gate firing 7 extras/frame must not let the dispatch
+    # loop pin gigabytes of frames).
+    FLUSH = 64
     host_outs: list[list[np.ndarray]] = [[] for _ in range(S)]
     inflight: list[Any] = [None] * S
 
@@ -378,6 +399,7 @@ def run_parallel(engine, params, groups: list[list[dict]],
     t0 = time.perf_counter()
     first_round = True
     alive = True
+    dispatched = 0
     while alive:
         alive = False
         for s in range(S):
@@ -393,6 +415,16 @@ def run_parallel(engine, params, groups: list[list[dict]],
             if len(outs[s]) >= FLUSH:
                 _drain(s)
                 inflight[s] = _start_flush(s)
+                # frame buffers are malloc'd on pool threads and freed
+                # here on the main thread; without periodic trims glibc's
+                # per-thread arenas keep the freed pages and RSS ratchets
+                # ~0.5 MB/frame forever (measured: 20 GB at 35k frames)
+                malloc_trim()
+            dispatched += 1
+            if progress_every and dispatched % progress_every == 0:
+                log(f"[parallel x{S}] dispatched {dispatched} frames "
+                    f"({dispatched / (time.perf_counter() - t0):.1f}/s, "
+                    f"RSS {_rss_mb():.0f} MB)")
         if first_round:
             # warmup barrier: compile / cache-load / the service's slow
             # first execution complete here, outside the timed region
@@ -403,6 +435,7 @@ def run_parallel(engine, params, groups: list[list[dict]],
             t0 = time.perf_counter()
 
     pool.shutdown(wait=True)
+    malloc_trim()
     per_stream = []
     for s in range(S):
         _drain(s)

@@ -218,7 +218,8 @@ def soak_parallel(args) -> dict:
     groups = partition_items(stream, S)
     t0 = time.time()
     summary = run_parallel(system.engine, system.params, groups,
-                           mesh=make_mesh(1))
+                           mesh=make_mesh(1),
+                           progress_every=max(args.rss_every * 8, 256))
     res = {
         "arm": "parallel",
         "frames_total": N,
