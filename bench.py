@@ -31,10 +31,16 @@ Prints ONE JSON line with the headline and the full measurement set.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Short run: keep the tunnel client's replay journal (self-heals dropped
+# connections mid-bench); long streaming runs bound it instead — see
+# dynaboa_tpu.bound_transfer_journal.
+os.environ.setdefault("DYNABOA_KEEP_TRANSFER_JOURNAL", "1")
 
 CHUNK = 16
 

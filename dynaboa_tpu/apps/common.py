@@ -93,6 +93,8 @@ def build_system(
     # every entry point shares the persistent XLA cache — the full bilevel
     # program takes minutes to compile fresh (docs/PERF.md)
     dynaboa_tpu.enable_compilation_cache()
+    # dataset-scale streaming must not ratchet host RSS per transfer
+    dynaboa_tpu.bound_transfer_journal()
 
     paths = paths or Paths()
     synthetic: dict[str, bool] = {}
