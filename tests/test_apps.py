@@ -188,3 +188,32 @@ class TestAdaptPipeline:
         np.testing.assert_array_equal(hist_before,
                                       np.asarray(pipe.state.hist_images))
         assert int(pipe.state.step) == step_before
+
+
+class TestTransferJournalBound:
+    """bound_transfer_journal must compact the tunnel client's transfer
+    journal by default and honor the short-run opt-out (bench.py sets it)."""
+
+    def test_sets_compact_by_default(self, monkeypatch):
+        import dynaboa_tpu
+
+        monkeypatch.delenv("AXON_JOURNAL_COMPACT", raising=False)
+        monkeypatch.delenv("DYNABOA_KEEP_TRANSFER_JOURNAL", raising=False)
+        dynaboa_tpu.bound_transfer_journal()
+        assert os.environ["AXON_JOURNAL_COMPACT"] == "1"
+
+    def test_opt_out_keeps_journal(self, monkeypatch):
+        import dynaboa_tpu
+
+        monkeypatch.delenv("AXON_JOURNAL_COMPACT", raising=False)
+        monkeypatch.setenv("DYNABOA_KEEP_TRANSFER_JOURNAL", "1")
+        dynaboa_tpu.bound_transfer_journal()
+        assert "AXON_JOURNAL_COMPACT" not in os.environ
+
+    def test_respects_explicit_user_value(self, monkeypatch):
+        import dynaboa_tpu
+
+        monkeypatch.setenv("AXON_JOURNAL_COMPACT", "0")
+        monkeypatch.delenv("DYNABOA_KEEP_TRANSFER_JOURNAL", raising=False)
+        dynaboa_tpu.bound_transfer_journal()
+        assert os.environ["AXON_JOURNAL_COMPACT"] == "0"
