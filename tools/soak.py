@@ -216,10 +216,23 @@ def soak_parallel(args) -> dict:
     stream = TrackedSynthetic(num_frames=N, seed=13)
     rss0 = rss_mb()
     groups = partition_items(stream, S)
+    samples: list[float] = []
+
+    def log_progress(msg):
+        samples.append(rss_mb())
+        print(msg, flush=True)
+
     t0 = time.time()
     summary = run_parallel(system.engine, system.params, groups,
-                           mesh=make_mesh(1),
+                           mesh=make_mesh(1), log=log_progress,
                            progress_every=max(args.rss_every * 8, 256))
+    # growth of the in-run RSS floor (min-of-halves, as in the sequential
+    # arm): what grows WITH STREAM LENGTH.  Peak is reported but not
+    # asserted on — it is dominated by the one-off XLA compile transient
+    # (~1.2 GB on CPU), not by anything per-frame.
+    h = len(samples) // 2
+    steady_growth = (round(min(samples[h:]) - min(samples[:h]), 1)
+                     if len(samples) >= 4 else None)
     res = {
         "arm": "parallel",
         "frames_total": N,
@@ -230,12 +243,15 @@ def soak_parallel(args) -> dict:
         "mpjpe": round(summary["mpjpe"], 3),
         "rss_mb": {"start": round(rss0, 1), "end": round(rss_mb(), 1),
                    "peak": round(peak_rss_mb(), 1)},
+        "rss_steady_growth_mb": steady_growth,
         "wall_seconds": round(time.time() - t0, 1),
     }
     assert res["frames_run"] == N, res
-    assert res["rss_mb"]["peak"] < args.rss_limit_mb, (
-        f"peak RSS {res['rss_mb']['peak']} MB exceeds the "
+    assert res["rss_mb"]["end"] < args.rss_limit_mb, (
+        f"end RSS {res['rss_mb']['end']} MB exceeds the "
         f"{args.rss_limit_mb} MB bound — the lazy partition is leaking")
+    if steady_growth is not None:
+        assert steady_growth < args.rss_growth_limit_mb, res
     return res
 
 
