@@ -193,7 +193,9 @@ def main(argv=None):
 
         groups = P.partition_items(stream, args.parallel_streams)
         summary = P.run_parallel(system.engine, system.params, groups,
-                                 keypoint_source=cfg.keypoint_source)
+                                 keypoint_source=cfg.keypoint_source,
+                                 progress_every=max(
+                                     64, 64 * args.parallel_streams))
         with open(osp.join(exppath, "res.txt"), "w") as f:
             f.write(f"MPJPE:{summary['mpjpe']}, "
                     f"PAMPJPE:{summary['pampjpe']}, "

@@ -583,6 +583,11 @@ class BilevelEngine:
                 probe_image = frame.image
             else:
                 Bp, Hp, Wp, Cp = frame.image.shape
+                if Hp % pf or Wp % pf:
+                    raise ValueError(
+                        f"probe_res_factor={pf} must divide the image "
+                        f"resolution {Hp}x{Wp} (the probe average-pools "
+                        f"by integer factor)")
                 probe_image = frame.image.reshape(
                     Bp, Hp // pf, pf, Wp // pf, pf, Cp).mean(axis=(2, 4))
 

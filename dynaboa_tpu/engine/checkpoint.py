@@ -140,28 +140,6 @@ def _write_packed(path: str, manifest: dict, packed: dict) -> None:
     _malloc_trim()
 
 
-def fetch_state(state: AdaptState) -> list[np.ndarray]:
-    """Device->host fetch of every leaf via per-dtype packed buffers."""
-    leaves, _ = jax.tree.flatten(state)
-    _, packed = _pack_state(state)
-    for buf in packed.values():
-        try:
-            buf.copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            pass
-    host = {k: np.asarray(v) for k, v in packed.items()}
-    offs = {k: 0 for k in host}
-    arr_idx = [i for i, l in enumerate(leaves) if hasattr(l, "dtype")]
-    out = list(leaves)
-    for i in arr_idx:
-        a = leaves[i]
-        k = str(a.dtype)
-        n = int(np.prod(a.shape)) if a.shape else 1
-        out[i] = host[k][offs[k]:offs[k] + n].reshape(a.shape).copy()
-        offs[k] += n
-    return out
-
-
 def save_state(path: str, state: AdaptState) -> None:
     """Serialize the full adaptation state to one (v2, streamed) npz."""
     _write_packed(path, *_pack_state(state))
@@ -241,6 +219,7 @@ class AsyncCheckpointer:
         self._done = threading.Event()
         self._done.set()
         self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
 
     def _worker(self):
         while True:
@@ -250,6 +229,15 @@ class AsyncCheckpointer:
             path, manifest, packed = item
             try:
                 _write_packed(path, manifest, packed)
+            except BaseException as e:  # noqa: BLE001 — surfaced on wait()
+                # Keep the worker alive: a dead thread with a non-None
+                # self._thread would make the next submit() enqueue to a
+                # queue nobody consumes and the following wait() hang
+                # forever.  The failure (ENOSPC, permissions, a dropped
+                # tunnel turning a slice fetch into a hard error) is
+                # re-raised on the dispatch thread at the next
+                # wait()/submit().
+                self._error = e
             finally:
                 self._done.set()
 
@@ -264,3 +252,6 @@ class AsyncCheckpointer:
 
     def wait(self) -> None:
         self._done.wait()
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError(f"async checkpoint write failed: {e!r}") from e

@@ -43,6 +43,7 @@ class ScalarWriter:
 
     def flush(self):
         self._f.flush()
+        self._last_flush = time.time()
 
     def close(self):
         self._f.close()

@@ -137,8 +137,15 @@ class ParallelStreams:
                                 in_specs=(spec, spec, P()),
                                 out_specs=(spec, spec), check_rep=False)
         self._spmd_jit = jax.jit(smapped)   # exposed for HLO inspection
+        # Replicate the asset tree over the mesh ONCE.  Passing the
+        # default-device `engine._assets` directly would make the runtime
+        # re-shard (re-upload) the whole tree to every device on EVERY
+        # step — the same per-dispatch copy tax `_assets_for` prevents in
+        # independent mode.
+        self._spmd_assets = jax.device_put(
+            engine._assets, jax.sharding.NamedSharding(self.mesh, P()))
         self._step = lambda states, frames: self._spmd_jit(
-            states, frames, engine._assets)
+            states, frames, self._spmd_assets)
 
     # -- state management ----------------------------------------------------
 
@@ -396,7 +403,15 @@ def run_parallel(engine, params, groups: list[list[dict]],
             idx = pos[s] + len(ready[s])
             ready[s].append(pool.submit(load_one, s, idx))
 
+    # the img_res probe above already paid stream 0's first item load
+    # (disk read + crop on lazy views) — reuse it rather than loading twice
+    if len(groups[0]):
+        ready[0].append(pool.submit(
+            lambda: jax.device_put(frame_from_item(first, keypoint_source),
+                                   par.devices[0])))
+
     t0 = time.perf_counter()
+    timed0 = 0          # `dispatched` snapshot at the last timer reset
     first_round = True
     alive = True
     dispatched = 0
@@ -422,8 +437,10 @@ def run_parallel(engine, params, groups: list[list[dict]],
                 malloc_trim()
             dispatched += 1
             if progress_every and dispatched % progress_every == 0:
+                # rate over the TIMED region only: t0 resets after the
+                # warmup round, so warmup dispatches must not inflate it
                 log(f"[parallel x{S}] dispatched {dispatched} frames "
-                    f"({dispatched / (time.perf_counter() - t0):.1f}/s, "
+                    f"({(dispatched - timed0) / (time.perf_counter() - t0):.1f}/s, "
                     f"RSS {_rss_mb():.0f} MB)")
         if first_round:
             # warmup barrier: compile / cache-load / the service's slow
@@ -433,6 +450,7 @@ def run_parallel(engine, params, groups: list[list[dict]],
                     np.asarray(outs[s][0]["mpjpe"])
             first_round = False
             t0 = time.perf_counter()
+            timed0 = dispatched
 
     pool.shutdown(wait=True)
     malloc_trim()

@@ -129,6 +129,34 @@ class TestRunner:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_async_checkpoint_failure_surfaces_and_worker_survives(
+            self, engine, tmp_path):
+        """A failed checkpoint write (ENOSPC, permissions, a dropped tunnel
+        hardening a slice fetch) must NOT kill the worker thread silently:
+        the next wait() raises, and a subsequent submit to a good path still
+        completes (the worker stays alive — a dead worker would make wait()
+        hang forever)."""
+        import pytest
+
+        from dynaboa_tpu.engine.checkpoint import AsyncCheckpointer, load_state
+
+        eng, params = engine
+        state = eng.init_state(params, img_res=IMG)
+        ck = AsyncCheckpointer()
+        # a FILE where the parent dir must go makes the write fail
+        # (the writer makedirs missing parents, so a merely-absent dir
+        # would succeed)
+        (tmp_path / "blocker").write_text("")
+        ck.submit(str(tmp_path / "blocker" / "ck.npz"), state)
+        with pytest.raises(RuntimeError, match="checkpoint write failed"):
+            ck.wait()
+        good = str(tmp_path / "ck_ok.npz")
+        ck.submit(good, state)     # must not deadlock on a dead worker
+        ck.wait()
+        restored = load_state(good, state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_fused_preprocess_stream_mode(self):
         """--fused_preprocess parity: a raw-frame item cropped on device must
         match the host crop path (reference utils/dataprocess.py:48-96) on
