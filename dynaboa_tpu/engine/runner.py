@@ -23,8 +23,7 @@ import jax
 import numpy as np
 
 from dynaboa_tpu.engine.bilevel import AdaptState, BilevelEngine, Frame
-from dynaboa_tpu.engine.checkpoint import (AsyncCheckpointer, load_state,
-                                           save_state)
+from dynaboa_tpu.engine.checkpoint import AsyncCheckpointer, load_state
 from dynaboa_tpu.metrics.writer import ScalarWriter
 
 
@@ -259,6 +258,7 @@ class StreamRunner:
         self.optim_step_record: list[int] = []
         self.step_times: list[float] = []
         self.reset_count: int = 0
+        self.ckpt_failures: int = 0
         self.frames_seen: int = 0
 
     def reset_state(self, params, batch_size: int = 1,
@@ -461,13 +461,20 @@ class StreamRunner:
 
                 if self.checkpoint_every and (i + 1) % self.checkpoint_every == 0:
                     flush()
-                    materialize()
+                    if reset_template is not None:
+                        # the divergence check runs on host records, so a
+                        # checkpoint must not snapshot weights a pending
+                        # materialization would have reset; without
+                        # auto-reset the snapshot only needs the device
+                        # state, and draining host records here would
+                        # reinstate the per-checkpoint dispatch stall the
+                        # async checkpointer removes
+                        materialize()
                     # async: snapshot on device (~ms), fetch + write in a
                     # worker thread overlapping subsequent dispatches (the
                     # blocking 434 MB fetch+write cost ~70 s/checkpoint on
                     # the tunneled TPU); atomic rename on completion
-                    self._ckpt.submit(
-                        osp.join(self.exppath, "checkpoint.npz"), state)
+                    self._checkpoint(state)
                 if (i + 1) % self.log_every == 0 and self.mpjpe_all:
                     print(
                         f"Step:{i}: MPJPE:{np.mean(self.mpjpe_all):.2f}, "
@@ -498,12 +505,38 @@ class StreamRunner:
             flush()
             materialize()
         finally:
-            self._ckpt.wait()   # checkpoint.npz is complete once run returns
-            if self.profile_dir:
-                jax.profiler.stop_trace()
+            try:
+                # checkpoint.npz is complete once run returns; a failed
+                # write must not clobber a primary exception from the run
+                # body or skip stop_trace/finalize — the checkpoint is the
+                # backup path, the run's results are the product
+                self._ckpt.wait()
+            except RuntimeError as e:
+                self.ckpt_failures += 1
+                print(f"---> WARNING: final {e} — run results are "
+                      f"unaffected; no checkpoint was saved this interval")
+            finally:
+                if self.profile_dir:
+                    jax.profiler.stop_trace()
 
         summary = self.finalize(n_total)
         return state, summary
+
+    def _checkpoint(self, state: AdaptState) -> None:
+        """Submit an async checkpoint, containing write failures.
+
+        A checkpoint is recoverability insurance — its failure (ENOSPC,
+        permissions, a dropped tunnel hardening a fetch) must not abort an
+        otherwise-healthy multi-hour adaptation run.  Failures surface from
+        the worker at the NEXT submit/wait; warn, count, and keep going —
+        the next interval retries with a fresh snapshot."""
+        try:
+            self._ckpt.submit(osp.join(self.exppath, "checkpoint.npz"),
+                              state)
+        except RuntimeError as e:
+            self.ckpt_failures += 1
+            print(f"---> WARNING: {e} — run continues; the checkpoint "
+                  f"will be retried at the next interval")
 
     def _record(self, i: int, out: dict, meta: dict | None = None):
         scalars = {}
@@ -655,7 +688,9 @@ class StreamRunner:
             "pampjpe": mean(self.pampjpe_all),
             "pve": mean(self.pve_all),
             "frames": self.frames_seen,
+            "frames_total": n_total,
             "fps": 1.0 / mean(steady) if steady else 0.0,
+            "checkpoint_failures": self.ckpt_failures,
         }
         print("--- Final ---")
         print(f"MPJPE:{summary['mpjpe']}, PAMPJPE:{summary['pampjpe']}, "

@@ -157,6 +157,23 @@ class TestRunner:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_checkpoint_failure_does_not_abort_run(self, engine, tmp_path):
+        """Checkpoint writes are the backup path: when every write fails,
+        the run must still complete, produce its artifacts, and count the
+        failures in the summary — not raise out of the dispatch loop."""
+        eng, params = engine
+        stream = SyntheticStream(num_frames=6, img_res=IMG, seed=3)
+        exp = tmp_path / "x"
+        exp.mkdir()
+        # a directory where the writer's tmp file goes makes every write fail
+        (exp / "checkpoint.npz.tmp").mkdir()
+        r = StreamRunner(eng, str(exp), checkpoint_every=2, log_every=100)
+        state, summary = r.run(stream, eng.init_state(params, img_res=IMG))
+        assert summary["frames"] == 6
+        assert summary["checkpoint_failures"] >= 1
+        assert np.isfinite(summary["mpjpe"])
+        assert osp.exists(str(exp / "res.npz"))   # finalize artifacts intact
+
     def test_fused_preprocess_stream_mode(self):
         """--fused_preprocess parity: a raw-frame item cropped on device must
         match the host crop path (reference utils/dataprocess.py:48-96) on
