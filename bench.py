@@ -37,16 +37,31 @@ import time
 
 import numpy as np
 
-# Short run: keep the tunnel client's replay journal (self-heals dropped
-# connections mid-bench); long streaming runs bound it instead — see
-# dynaboa_tpu.bound_transfer_journal.
-os.environ.setdefault("DYNABOA_KEEP_TRANSFER_JOURNAL", "1")
-
 CHUNK = 16
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+_fetch_cache: dict = {}
+
+
+def fetch_stacked(*series):
+    """Fetch per-frame device scalars in ONE jitted pack + one host round
+    trip per call, instead of a blocking ~31 ms round trip per element
+    (a 64-frame arm would otherwise waste ~4 s of dead time after its
+    timed region).  Each element is reduced to its mean scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    key = tuple(len(s) for s in series)
+    if key not in _fetch_cache:
+        _fetch_cache[key] = jax.jit(
+            lambda *ss: tuple(
+                jnp.stack([jnp.asarray(x, jnp.float32).mean() for x in s])
+                for s in ss))
+    return tuple(np.asarray(r) for r in _fetch_cache[key](*series))
 
 
 def make_frames(n_distinct: int):
@@ -93,10 +108,10 @@ def build(cfg):
 def measure_streaming(system, frames, n_frames, label, thr=None):
     """Issue one async dispatch per frame; sync only at the end.
 
-    Returns (fps, mean extra steps, final state, per-frame mpjpe array) —
-    the metric series backs the trajectory-level bf16 qualification."""
-    import jax
-
+    Returns (fps, mean extra steps, final state, per-frame mpjpe array,
+    warmup extra steps) — the metric series backs the trajectory-level
+    bf16 qualification; the warmup extras let drift bounds count EVERY
+    Adam update the weights integrated, not just the timed frames'."""
     engine = system.engine
     state = engine.init_state(system.params)
     t0 = time.perf_counter()
@@ -105,6 +120,7 @@ def measure_streaming(system, frames, n_frames, label, thr=None):
     # for donated chains here, which let the tunnel service's slow first
     # execution of a fresh program leak INTO the timed region (measured
     # 0.36-0.55 "fps" for the first arm of a process, twice)
+    warm_extra = float(np.asarray(out["optim_steps"]))
     float(np.asarray(out["mpjpe"]).sum())
     log(f"[{label}] compile+first step: {time.perf_counter() - t0:.1f}s")
 
@@ -121,11 +137,11 @@ def measure_streaming(system, frames, n_frames, label, thr=None):
     float(np.asarray(out["mpjpe"]).sum())
     dt = time.perf_counter() - t0
     fps = n_frames / dt
-    extra = float(np.mean([np.asarray(o) for o in outs]))
+    steps_np, mpjpes = fetch_stacked(outs, mpjpes)
+    extra = float(steps_np.mean())
     log(f"[{label}] streaming: {n_frames} frames in {dt:.2f}s -> "
         f"{fps:.2f} fps ({extra:.2f} extra steps/frame)")
-    mpjpes = np.array([float(np.asarray(m).mean()) for m in mpjpes])
-    return fps, extra, state, mpjpes
+    return fps, extra, state, mpjpes, warm_extra
 
 
 def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64):
@@ -147,16 +163,16 @@ def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64):
     uses to pick the flagship dtype (VERDICT r3 item 4)."""
     import jax
 
-    fps16, extra16, st16, m16 = measure_streaming(
+    fps16, extra16, st16, m16, w16 = measure_streaming(
         sys16, frames, n_frames, "bf16-traj")
-    fps32, extra32, st32, m32 = measure_streaming(
+    fps32, extra32, st32, m32, w32 = measure_streaming(
         sys32, frames, n_frames, "fp32-traj")
 
     # chaos control: same program/config/dtype as fp32, weights nudged by
     # one ULP — its steady-metric delta vs fp32 IS the chaos envelope
     import dataclasses
 
-    _, _, _, mctl = measure_streaming(
+    _, _, _, mctl, _ = measure_streaming(
         dataclasses.replace(sys32, params=jax.tree.map(
             lambda a: (a * (1.0 + 1.2e-7)).astype(a.dtype), sys32.params)),
         frames, n_frames, "fp32-chaos-ctl")
@@ -165,7 +181,11 @@ def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64):
     steady32 = max(abs(m32[tail:].mean()), 1e-9)
     rel = abs(m16[tail:].mean() - m32[tail:].mean()) / steady32
     rel_ctl = abs(mctl[tail:].mean() - m32[tail:].mean()) / steady32
-    n_updates = n_frames * (1.0 + 0.5 * (extra16 + extra32))
+    # every update the weights integrated: warmup frame included (it runs
+    # 1 + its own extras before the timed region)
+    upd16 = (n_frames + 1) + extra16 * n_frames + w16
+    upd32 = (n_frames + 1) + extra32 * n_frames + w32
+    n_updates = 0.5 * (upd16 + upd32)
     lr = sys16.engine.cfg.lr
     drift = max(
         float(np.abs(np.asarray(a, np.float32)
@@ -213,7 +233,8 @@ def measure_realistic(system, frames, label, means=(1, 2, 3), n_frames=48):
             extras.append(out["optim_steps"])
         float(np.asarray(out["mpjpe"]).sum())
         fps = n_frames / (time.perf_counter() - t0)
-        realized = float(np.mean([np.asarray(e) for e in extras]))
+        (steps_np,) = fetch_stacked(extras)
+        realized = float(steps_np.mean())
         table[k] = {"fps": round(fps, 2),
                     "realized_mean_extras": round(realized, 2)}
         log(f"[{label}] realistic gate: geometric mean-{k} extras "
@@ -222,8 +243,6 @@ def measure_realistic(system, frames, label, means=(1, 2, 3), n_frames=48):
 
 
 def measure_chunked(system, frames, label, thr=None, n_chunks=3):
-    import jax
-
     engine = system.engine
     chunk = stack_chunk(frames, CHUNK)
     state = engine.init_state(system.params)
@@ -247,7 +266,6 @@ def measure_windowed(system, frames, label, W=8, n_steps=12):
     """Batched-window variant (SURVEY §2d): W frames share one bilevel
     update.  Aggregate frames/sec; updates-per-frame is 1/W of the
     per-frame protocol, so this is reported separately from the headline."""
-    import jax
     import jax.numpy as jnp
 
     from dynaboa_tpu.engine.bilevel import Frame
@@ -337,13 +355,25 @@ def measure_runner(system, label, n_frames=96):
     with tempfile.TemporaryDirectory() as d:
         runner = StreamRunner(system.engine, d, log_every=10_000)
         state = system.engine.init_state(system.params)
-        _, summary = runner.run(stream, state)
+        # the runner narrates to stdout ('--- Final ---', 'MPJPE:...');
+        # bench.py's contract is ONE JSON line on stdout — divert
+        import contextlib
+
+        with contextlib.redirect_stdout(sys.stderr):
+            _, summary = runner.run(stream, state)
     log(f"[{label}] runner steady-state: {summary['fps']:.2f} fps "
         f"({summary['frames']} frames)")
     return summary["fps"]
 
 
 def main():
+    # Short run: keep the tunnel client's replay journal (self-heals dropped
+    # connections mid-bench); long streaming runs bound it instead — see
+    # dynaboa_tpu.bound_transfer_journal.  Set here, not at module import:
+    # tools import bench helpers and must not silently inherit the
+    # unbounded-journal mode.
+    os.environ.setdefault("DYNABOA_KEEP_TRANSFER_JOURNAL", "1")
+
     import jax
 
     import dynaboa_tpu
@@ -373,7 +403,7 @@ def main():
     fps_stream = q["fps16"] if use_bf16 else q["fps32"]
     fps32_stream = q["fps32"]
 
-    wc_fps, wc_extra, _, _ = measure_streaming(
+    wc_fps, wc_extra, _, _, _ = measure_streaming(
         flag_sys, frames, 24, flag_label + "-worstcase", thr=-1.0)
 
     realistic = measure_realistic(flag_sys, frames, flag_label)
@@ -395,7 +425,7 @@ def main():
          flag_cfg.replace(fast_extra_updates=True, probe_res_factor=2)),
     ]:
         s = build(c)
-        f, _, _, _ = measure_streaming(
+        f, _, _, _, _ = measure_streaming(
             s, frames, 24, f"{flag_label}-wc[{name}]", thr=-1.0)
         wc_exp[name] = round(f, 2)
         del s
