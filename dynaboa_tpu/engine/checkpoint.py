@@ -36,6 +36,7 @@ import os
 import queue
 import threading
 import zipfile
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,15 @@ def _npy_header(dtype: np.dtype, n: int) -> bytes:
     return buf.getvalue()
 
 
+def _fetch_async(x):
+    """Start the device->host copy without blocking; np.asarray later."""
+    try:
+        x.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
+    return x
+
+
 def _write_packed(path: str, manifest: dict, packed: dict) -> None:
     """Stream the packed buffers into an npz, ~32 MB of host memory at a
     time; atomic rename on completion so a crash never leaves a torn file."""
@@ -130,11 +140,22 @@ def _write_packed(path: str, manifest: dict, packed: dict) -> None:
                         lambda b, o, C=_SLICE_ELEMS: jax.lax.dynamic_slice(
                             b, (o,), (C,)))
                 slicer = _pack_cache[key]
-                for off in range(0, n, _SLICE_ELEMS):
-                    # dynamic_slice clamps the start so the final window
-                    # overlaps the tail; trim on host to the remainder
-                    sl = np.asarray(slicer(buf, off))
-                    f.write(sl[:n - off].tobytes())
+                handles = deque()
+                offs = list(range(0, n, _SLICE_ELEMS))
+                for off in offs[:2]:
+                    handles.append(_fetch_async(slicer(buf, off)))
+                for j, off in enumerate(offs):
+                    # overlap: slice j+2's device->host copy was started
+                    # before blocking on slice j, so the transfer of the
+                    # next windows rides under this one's disk write
+                    sl = np.asarray(handles.popleft())
+                    if j + 2 < len(offs):
+                        handles.append(_fetch_async(slicer(buf, offs[j + 2])))
+                    # dynamic_slice CLAMPS the start: the final ragged
+                    # window begins at n - C, so the remainder [off, n) is
+                    # its TAIL.  (sl[-(n-off):] is the whole window when
+                    # the window isn't clamped, since then n - off >= C.)
+                    f.write(sl[-(n - off):].tobytes())
                     del sl
     os.replace(tmp, path)
     _malloc_trim()
@@ -162,13 +183,25 @@ def _load_v2(zf: zipfile.ZipFile, template: AdaptState) -> AdaptState:
     restored = []
     for rec, leaf in zip(manifest["leaves"], leaves):
         if rec["kind"] == "py":
+            if hasattr(leaf, "dtype"):
+                raise ValueError(
+                    "checkpoint recorded a python leaf where the template "
+                    f"has a {np.shape(leaf)} array — structure mismatch")
             restored.append(rec["value"])
             continue
         k, shape = rec["dtype"], tuple(rec["shape"])
-        if hasattr(leaf, "dtype") and shape != tuple(np.shape(leaf)):
+        if not hasattr(leaf, "dtype"):
+            raise ValueError(
+                "checkpoint recorded an array where the template has a "
+                f"python leaf ({type(leaf).__name__}) — structure mismatch")
+        if shape != tuple(np.shape(leaf)):
             raise ValueError(
                 f"checkpoint leaf shape {shape} != template "
                 f"{np.shape(leaf)}")
+        if k != str(leaf.dtype):
+            raise ValueError(
+                f"checkpoint leaf dtype {k} != template {leaf.dtype} — "
+                "a silent cast would break bit-exact resume")
         n = int(np.prod(shape)) if shape else 1
         arr = packed[k][offs[k]:offs[k] + n].reshape(shape)
         offs[k] += n
@@ -255,3 +288,17 @@ class AsyncCheckpointer:
         if self._error is not None:
             e, self._error = self._error, None
             raise RuntimeError(f"async checkpoint write failed: {e!r}") from e
+
+    def close(self) -> None:
+        """Join the worker after the in-flight write completes.  Without
+        this every checkpointer leaks one idle daemon thread (pinning its
+        glibc arena); a later submit() restarts the worker, so close() is
+        safe to call between runs.  Does not raise on a pending write
+        failure — call wait() first if the error matters."""
+        if self._thread is None:
+            return
+        self._done.wait()
+        self._q.put(None)
+        self._thread.join()
+        self._thread = None
+        self._error = None

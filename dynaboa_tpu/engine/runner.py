@@ -516,6 +516,10 @@ class StreamRunner:
                 print(f"---> WARNING: final {e} — run results are "
                       f"unaffected; no checkpoint was saved this interval")
             finally:
+                # join the worker so runners don't each leak an idle daemon
+                # thread (and its glibc arena); a later run() resubmits and
+                # restarts it transparently
+                self._ckpt.close()
                 if self.profile_dir:
                     jax.profiler.stop_trace()
 
