@@ -113,14 +113,21 @@ class BilevelEngine:
         self.smpls = smpls
         self.store = store
         self.compute_metrics = compute_metrics
-        if cfg.mixtrain and cfg.retrieval and store is None:
-            raise ValueError("mixtrain+retrieval requires a RetrievalStore")
+        if cfg.mixtrain and store is None:
+            # both retrieval and sequential draw dereference the store
+            raise ValueError("mixtrain requires a RetrievalStore")
         self.tx = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2,
                              eps=1e-8, eps_root=0.0)
         self._pallas_smpl = None
         if cfg.use_pallas_lbs:
             from dynaboa_tpu.kernels.lbs import PallasSMPL
 
+            # NOTE: PallasSMPL closes over its own concrete SMPL-sized
+            # buffers, which bake into the jitted step as HLO constants —
+            # it is NOT routed through the _inject_assets seam, so this
+            # opt-in path trades back some of the asset-args design's
+            # compile-artifact savings (numerics are unaffected; the
+            # buffers equal the injected neutral-SMPL assets)
             self._pallas_smpl = PallasSMPL(
                 smpls.neutral, interpret=jax.default_backend() != "tpu")
         # the similarity threshold enters as a traced scalar so threshold
@@ -229,18 +236,32 @@ class BilevelEngine:
         non-default device on every call (see ParallelStreams)."""
         thr = self._thr if cos_sim_threshold is None else jnp.float32(
             cos_sim_threshold)
-        cap = (jnp.int32(self.cfg.optim_steps) if extra_cap is None
-               else jnp.int32(extra_cap))
+        cap = self._cap(extra_cap)
         return self._jit_step(state, frame, thr, cap,
                               self._assets if assets is None else assets)
 
+    def _cap(self, extra_cap):
+        """extra_cap is TRACED, but the while-loop's static bound is
+        1 + cfg.optim_steps — a larger cap would be silently clamped and a
+        sweep's curve would flatline with no warning.  Catch the concrete
+        case loudly; genuinely-traced caps remain the caller's contract."""
+        if extra_cap is None:
+            return jnp.int32(self.cfg.optim_steps)
+        if isinstance(extra_cap, (int, float)) and \
+                extra_cap > self.cfg.optim_steps:
+            raise ValueError(
+                f"extra_cap={extra_cap} exceeds cfg.optim_steps="
+                f"{self.cfg.optim_steps}, the compiled loop's static "
+                "bound — raise optim_steps to sweep beyond it")
+        return jnp.int32(extra_cap)
+
     def run_chunk(self, state: AdaptState, frames: Frame,
-                  cos_sim_threshold=None, extra_cap=None):
+                  cos_sim_threshold=None, extra_cap=None, assets=None):
         thr = self._thr if cos_sim_threshold is None else jnp.float32(
             cos_sim_threshold)
-        cap = (jnp.int32(self.cfg.optim_steps) if extra_cap is None
-               else jnp.int32(extra_cap))
-        return self._jit_chunk(state, frames, thr, cap, self._assets)
+        cap = self._cap(extra_cap)
+        return self._jit_chunk(state, frames, thr, cap,
+                               self._assets if assets is None else assets)
 
     def _run_chunk(self, state: AdaptState, frames: Frame, thr, cap):
         """Adapt over a chunk of frames with ``lax.scan`` — one dispatch for
@@ -276,15 +297,6 @@ class BilevelEngine:
                     verts=verts, s2d=s2d, feats=feats)
 
     # -- loss builders -------------------------------------------------------
-
-    def _kp2d_loss(self, s2d, j2d, row_w=None):
-        from dynaboa_tpu.losses.adaptation import row_weighted_mean
-
-        if self.cfg.keypoint_source == "openpose":
-            return keypoint_2d_loss_openpose(s2d, j2d, row_w)
-        conf = j2d[:, 25:, 2:3]
-        return row_weighted_mean(
-            ((s2d[:, 25:] - j2d[:, 25:, :2]) ** 2) * conf, row_w)
 
     def _teacher_active(self, level: str) -> bool:
         use_temporal = (self.cfg.use_temporal_losses_lower if level == "lower"
@@ -359,25 +371,14 @@ class BilevelEngine:
         loss = jnp.zeros((), jnp.float32)
 
         if use_frame:
-            if cfg.keypoint_source == "openpose":
-                s2dl = keypoint_2d_loss_openpose(s2d[fr], frame.j2d,
-                                                 frame.mask)
-                from dynaboa_tpu.losses import shape_prior, pose_prior_loss
-
-                sp = shape_prior(shape[fr], frame.mask)
-                pp = pose_prior_loss(self.prior, rotmat[fr], shape[fr],
-                                     frame.mask)
-                loss = (s2dl * cfg.s2dloss_weight
-                        + sp * cfg.shape_prior_weight
-                        + pp * cfg.pose_prior_weight)
-                aux.update(s2dloss=s2dl, shape_prior=sp, pose_prior=pp)
-            else:
-                loss, parts = frame_loss(
-                    self.prior, s2d[fr], rotmat[fr], shape[fr], frame.j2d,
-                    cfg.s2dloss_weight, cfg.shape_prior_weight,
-                    cfg.pose_prior_weight, frame.mask,
-                )
-                aux.update(parts)
+            loss, parts = frame_loss(
+                self.prior, s2d[fr], rotmat[fr], shape[fr], frame.j2d,
+                cfg.s2dloss_weight, cfg.shape_prior_weight,
+                cfg.pose_prior_weight, frame.mask,
+                kp_loss_fn=(keypoint_2d_loss_openpose
+                            if cfg.keypoint_source == "openpose" else None),
+            )
+            aux.update(parts)
             aux["unlabelloss"] = loss
 
         if use_motion:

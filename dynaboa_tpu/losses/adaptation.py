@@ -80,10 +80,14 @@ def frame_loss(
     shape_prior_weight: float,
     pose_prior_weight: float,
     row_w: jnp.ndarray | None = None,
+    kp_loss_fn=None,
 ):
     """The per-frame unsupervised loss mix used at both levels
-    (reference base_adaptor.py:231-247 / 280-296)."""
-    s2d = keypoint_2d_loss(pred_s2d_normed, gt_j2d, row_w)
+    (reference base_adaptor.py:231-247 / 280-296).  ``kp_loss_fn`` selects
+    the 2D keypoint term (default GT-SPIN ``keypoint_2d_loss``; the webcam
+    path passes ``keypoint_2d_loss_openpose``) so both keypoint sources
+    share ONE weight-mix/aux implementation."""
+    s2d = (kp_loss_fn or keypoint_2d_loss)(pred_s2d_normed, gt_j2d, row_w)
     sp = shape_prior(pred_shape, row_w)
     pp = pose_prior_loss(prior, pred_rotmat, pred_shape, row_w)
     total = s2d * s2d_weight + sp * shape_prior_weight + pp * pose_prior_weight
