@@ -63,12 +63,14 @@ def build_parser():
 
 def keypoints_to_bbox(kp2d: np.ndarray, scale_factor: float = 1.2):
     """bbox from keypoint extremes + conf binarization
-    (reference dynaboa_webcam.py dataprocess():197-217)."""
+    (reference dynaboa_webcam.py dataprocess():197-217).  The
+    extremes->(center, scale) math is shared with the offline internet
+    preprocess so the live and offline crop conventions cannot diverge."""
+    from dynaboa_tpu.data.preprocess.internet import bbox_from_kp
+
     kp = kp2d[0].copy()
-    lo = kp[:, :2].min(0)
-    hi = kp[:, :2].max(0)
-    center = np.array([(hi[0] + lo[0]) / 2, (hi[1] + lo[1]) / 2], np.float32)
-    scale = scale_factor * max(hi[0] - lo[0], hi[1] - lo[1]) / 200.0
+    center, scale = bbox_from_kp(kp, scale_factor)
+    center = np.asarray(center, np.float32)
     bbox = np.array([center[0], center[1], scale * 200.0], np.float32)
     kp[:, 2] = kp[:, 2] > 0.3
     return kp, center, float(scale), bbox
@@ -121,13 +123,18 @@ class AdaptPipeline:
     the tunneled TPU it blocks the calling thread until the step's compute
     completes (~19 ms measured)."""
 
-    def __init__(self, engine, state, depth: int = 1, fetch_fn=None):
+    def __init__(self, engine, state, depth: int = 1, fetch_fn=None,
+                 augment_fn=None):
         import collections
 
         self.engine = engine
         self.state = state
         self.depth = depth
         self.fetch_fn = fetch_fn
+        # augment_fn(frame, out) -> out: attach extra per-frame outputs
+        # (e.g. the frozen base model's prediction for --test_basemodel)
+        # before the fetch transform sees the record
+        self.augment_fn = augment_fn
         self._pending = collections.deque()
 
     def _push(self, rec):
@@ -138,6 +145,8 @@ class AdaptPipeline:
 
     def submit(self, frame, ctx):
         self.state, out = self.engine.step(self.state, frame)
+        if self.augment_fn is not None:
+            out = self.augment_fn(frame, out)
         if self.fetch_fn is not None:
             out = self.fetch_fn(out)
         return self._push((out, ctx))
@@ -213,11 +222,30 @@ def main(argv=None):
 
     src = args.camera_id if args.capture_mode == "webcam" else args.video_file
     if args.capture_mode == "video":
+        if not args.video_file:
+            raise SystemExit("--video_file required with "
+                             "--capture_mode video")
         cap = cv2.VideoCapture(src)
+        if not cap.isOpened():
+            raise SystemExit(f"cannot open video file {src!r}")
         read_next = lambda: cap.read()
     else:
         source = FrameSource(src)
-        read_next = lambda: (True, source.read()[1])
+        last_tick = [0]
+
+        def read_next():
+            # wait for a NEW tick: re-adapting the ring's latest frame at
+            # full loop speed would desync PrecomputedKeypoints' per-call
+            # index and write unbounded duplicate frames; a dead/ended
+            # camera terminates the loop instead of replaying forever
+            while True:
+                tick, frame = source.read()
+                if tick != last_tick[0]:
+                    last_tick[0] = tick
+                    return True, frame
+                if source.ended:
+                    return False, None
+                _time.sleep(0.001)
 
     renderer = Renderer(faces=system.smpls.neutral.faces)
     writer = None
@@ -225,7 +253,30 @@ def main(argv=None):
     zeros10 = np.zeros((1, 10), np.float32)
     gender = np.zeros((1,), np.int32)
 
+    import jax
+    import jax.numpy as jnp
     import time as _time
+
+    # ONE device->host round trip per record (~31 ms each on the tunneled
+    # TPU): verts+cam ride a single packed buffer instead of two fetches.
+    # The batch-0 slice happens INSIDE the jit — an eager out["verts"][0]
+    # would trigger its own remote compile on this platform (docs/PERF.md)
+    _pack_vc = jax.jit(lambda v, c: jnp.concatenate(
+        [v[0].reshape(-1), c.reshape(-1)]).astype(jnp.float32))
+
+    def fetch_record(out):
+        """Materialize {verts: (V,3), cam: (1,3)} with one packed fetch."""
+        vshape, cshape = out["verts"].shape, out["cam"].shape
+        nv = int(np.prod(vshape[1:]))
+        flat = np.asarray(_pack_vc(out["verts"], out["cam"]))
+        return {"verts": flat[:nv].reshape(vshape[1:]),
+                "cam": flat[nv:].reshape(cshape)}
+
+    # --test_basemodel (reference dynaboa_webcam.py:330-336, 414-417): the
+    # FROZEN base model predicts the same crop and renders side by side
+    # with the adapted mesh, so drift/improvement is visible live.  The
+    # pristine weights stay in system.params (init_state copies them).
+    base_params = system.params if args.test_basemodel else None
 
     E = {"fetch": 0.0, "render": 0.0, "write": 0.0, "n": 0}
 
@@ -235,33 +286,46 @@ def main(argv=None):
         nonlocal writer
         out, ctx = rec
         frame_bgr = ctx["frame_bgr"]
-        _t0 = _time.perf_counter()
-        if out is None:
-            out_img = frame_bgr          # nobody detected: pass through
-        else:
-            if hasattr(out, "result"):   # fetch-pool future (headless mode)
-                out = out.result()
-            # materialize the FULL arrays and index on the host —
-            # device-slicing out["verts"][0] here would create a new array
-            # and pay a fresh blocking transfer (~79 ms measured on the
-            # tunneled TPU)
-            verts = np.asarray(out["verts"])[0]
-            cam = np.asarray(out["cam"])
-            E["fetch"] += _time.perf_counter() - _t0
-            _t0 = _time.perf_counter()
-            if np.isfinite(verts).all() and np.isfinite(cam).all():
-                h, w = frame_bgr.shape[:2]
-                orig_cam = convert_crop_cam_to_orig_img(
-                    cam, ctx["bbox"][None], w, h)[0]
-                out_img = renderer.render(
-                    frame_bgr, verts, orig_cam,
-                    color=(205 / 255, 129 / 255, 98 / 255))
-            else:
+
+        def render_one(fetched, color):
+            # fetched: host {verts: (V,3), cam: (3,)} from fetch_record
+            verts, cam = fetched["verts"], fetched["cam"]
+            if not (np.isfinite(verts).all() and np.isfinite(cam).all()):
                 # diverged weights (the reference's remedy is the manual
                 # 'r' reload) — pass the frame through instead of feeding
                 # the rasterizer NaNs
-                out_img = frame_bgr
-        E["render"] += _time.perf_counter() - _t0
+                return frame_bgr
+            h, w = frame_bgr.shape[:2]
+            orig_cam = convert_crop_cam_to_orig_img(
+                cam, ctx["bbox"][None], w, h)[0]
+            return renderer.render(frame_bgr, verts, orig_cam, color=color)
+
+        _t0 = _time.perf_counter()
+        if out is None:
+            out_img = frame_bgr          # nobody detected: pass through
+            if base_params is not None:
+                # keep the writer's double-width geometry stable
+                # (reference dynaboa_webcam.py:421-424 pads likewise)
+                out_img = np.concatenate([out_img, frame_bgr], axis=1)
+            E["render"] += _time.perf_counter() - _t0
+        else:
+            if hasattr(out, "result"):   # fetch-pool future (headless mode)
+                out = out.result()
+            else:                        # display mode: raw device arrays
+                base = out.get("base")
+                out = fetch_record(out)
+                if base is not None:
+                    out["base"] = fetch_record(base)
+            E["fetch"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            out_img = render_one(out, color=(205 / 255, 129 / 255, 98 / 255))
+            if base_params is not None:
+                # frozen base model beside the adapted mesh (reference's
+                # test_basemodel view, color swapped like its [100,100,200])
+                base_img = render_one(out["base"],
+                                      color=(100 / 255, 100 / 255, 200 / 255))
+                out_img = np.concatenate([out_img, base_img], axis=1)
+            E["render"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         if args.out_video:
             if writer is None:
@@ -282,7 +346,6 @@ def main(argv=None):
         return True
 
     frame_idx = 0
-    import jax
 
     # Rendering/writing runs on a worker thread in headless mode, so the
     # verts fetch + rasterize + mp4 encode of frame t-1 overlaps the
@@ -305,20 +368,47 @@ def main(argv=None):
         fetch_pool = ThreadPoolExecutor(max_workers=4)
 
         def fetch(out):
-            return {"verts": np.asarray(out["verts"]),
-                    "cam": np.asarray(out["cam"])}
+            base = out.get("base")
+            rec = fetch_record(out)
+            if base is not None:
+                rec["base"] = fetch_record(base)
+            return rec
 
         fetch_fn = lambda out: fetch_pool.submit(fetch, out)
+
+        # A render/write/fetch failure must NOT kill the worker silently —
+        # the bounded emit_q would fill and the main loop would hang
+        # forever in put().  Latch the first error, keep draining, and let
+        # the main loop stop and re-raise it.
+        emit_err: list[BaseException] = []
 
         def emit_worker():
             while True:
                 rec = emit_q.get()
                 if rec is None:
                     return
-                emit(rec)
+                if emit_err:
+                    continue             # error latched: drain without work
+                try:
+                    emit(rec)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    emit_err.append(e)
 
         emit_thread = threading.Thread(target=emit_worker, daemon=True)
         emit_thread.start()
+    else:
+        emit_err = []
+
+    augment_fn = None
+    if base_params is not None:
+        if fused:
+            raise SystemExit("--test_basemodel requires --fused_preprocess 0"
+                             " (the base predict runs on the host crop)")
+
+        def augment_fn(frame, out):
+            pred = system.engine.predict(base_params, frame.image)
+            return dict(out, base={"verts": pred["verts"],
+                                   "cam": pred["cam"]})
 
     # depth 2 in headless mode: rendering lags the stream by two frames,
     # which gives each record's fetch two frame periods (~compute tail +
@@ -326,7 +416,7 @@ def main(argv=None):
     pipeline = AdaptPipeline(system.engine,
                              system.engine.init_state(system.params),
                              depth=1 if args.display else 2,
-                             fetch_fn=fetch_fn)
+                             fetch_fn=fetch_fn, augment_fn=augment_fn)
 
     def deliver(rec) -> bool:
         if emit_q is not None:
@@ -337,12 +427,14 @@ def main(argv=None):
     import time
 
     warmup, t_steady = 3, None
+    synced, steady_at = False, None
     # DYNABOA_STREAM_TIMING=1 prints a per-phase main-loop breakdown at the
     # end (ms/frame over the steady window) — the app measures itself
     # because external replicas of this loop keep measuring differently
     timing = os.environ.get("DYNABOA_STREAM_TIMING") == "1"
     T = {"read": 0.0, "kp": 0.0, "prep": 0.0, "submit": 0.0, "deliver": 0.0}
 
+    ok_continue = True
     while True:
         t0 = time.perf_counter()
         ok, frame_bgr = read_next()
@@ -378,18 +470,24 @@ def main(argv=None):
             T["submit"] += t4 - t3
             T["deliver"] += t5 - t4
         frame_idx += 1
-        if not ok_continue:
+        if not ok_continue or emit_err:
             break
-        if frame_idx == 1:
+        if not synced and kp2d is not None:
             # warmup barrier: compile/cache-load AND the service's slow
-            # first execution all complete inside frame 0
+            # first execution complete inside the FIRST DISPATCHED frame —
+            # keyed on the first real submit, not frame index, so a stream
+            # whose opening frames have no detected person doesn't land
+            # the (observed 15-683 s) first-execution stall mid-measurement
             pipeline.sync()
-        if frame_idx == warmup:
+            synced = True
+            steady_at = frame_idx + warmup - 1
+        if steady_at is not None and frame_idx == steady_at:
             t_steady = time.perf_counter()
 
     t_tail = time.perf_counter()
-    while (tail := pipeline.drain()) is not None:
-        deliver(tail)
+    while ok_continue and not emit_err and \
+            (tail := pipeline.drain()) is not None:
+        ok_continue = deliver(tail)
     if emit_q is not None:
         emit_q.put(None)
         emit_thread.join()
@@ -397,11 +495,11 @@ def main(argv=None):
     if timing:
         print(f"tail drain+join: {time.perf_counter() - t_tail:.2f}s")
 
-    if t_steady is not None and frame_idx > warmup:
-        n = frame_idx - warmup
+    if t_steady is not None and frame_idx > steady_at:
+        n = frame_idx - steady_at
         fps = n / (time.perf_counter() - t_steady)
         print(f"steady: {fps:.2f} fps over {n} frames "
-              f"(excl. {warmup} warmup)")
+              f"(excl. {steady_at} warmup)")
         if timing:
             print("main-loop ms/frame: " +
                   " ".join(f"{k}={1e3 * v / n:.1f}" for k, v in T.items()))
@@ -411,6 +509,8 @@ def main(argv=None):
                            for k in ("fetch", "render", "write")))
     if writer is not None:
         writer.release()
+    if emit_err:
+        raise RuntimeError("render/write worker failed") from emit_err[0]
     print(f"processed {frame_idx} frames")
     return frame_idx
 

@@ -73,6 +73,43 @@ class TestStreamApp:
         assert frames == n
         assert osp.exists(out_video) and os.path.getsize(out_video) > 0
 
+    def test_video_end_to_end_test_basemodel(self, tmp_path):
+        """--test_basemodel renders the FROZEN base model's mesh beside the
+        adapted one (reference dynaboa_webcam.py:330-336,414-417): the
+        output video must be double width, including pass-through frames."""
+        cv2 = pytest.importorskip("cv2")
+        from dynaboa_tpu.apps.stream import main
+
+        vid = str(tmp_path / "in.mp4")
+        w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (320, 240))
+        rng = np.random.default_rng(5)
+        n = 3
+        for _ in range(n):
+            w.write(rng.integers(0, 255, size=(240, 320, 3), dtype=np.uint8))
+        w.release()
+        kps = np.zeros((n, 25, 3), np.float32)
+        kps[:, :, 0] = rng.uniform(100, 220, size=(n, 25))
+        kps[:, :, 1] = rng.uniform(60, 180, size=(n, 25))
+        kps[:, :, 2] = 0.9
+        kps[1] = 0.0          # frame 1: no person -> padded pass-through
+        kp_file = str(tmp_path / "kps.npz")
+        np.savez(kp_file, keypoints=kps)
+
+        out_video = str(tmp_path / "out.mp4")
+        frames = main([
+            "--expdir", str(tmp_path), "--expname", "stream_base",
+            "--capture_mode", "video", "--video_file", vid,
+            "--kp_file", kp_file, "--out_video", out_video,
+            "--test_basemodel", "1", *LEAN,
+        ])
+        assert frames == n
+        cap = cv2.VideoCapture(out_video)
+        assert cap.isOpened()
+        assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 640   # 2 x 320
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == n
+        cap.release()
+
     def test_video_end_to_end_fused_preprocess(self, tmp_path):
         """Same stream surface with the on-device crop/resize/normalize
         (--fused_preprocess) instead of the host crop."""
