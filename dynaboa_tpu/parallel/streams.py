@@ -53,14 +53,19 @@ try:                                    # jax >= 0.8
 except ImportError:                     # older jax
     from jax.experimental.shard_map import shard_map
 
-from dynaboa_tpu.engine.bilevel import AdaptState, BilevelEngine, Frame
+from dynaboa_tpu.engine.bilevel import BilevelEngine, Frame
 from dynaboa_tpu.engine.checkpoint import malloc_trim
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "stream") -> Mesh:
     devs = jax.devices()
-    n = n_devices or len(devs)
-    return Mesh(np.array(devs[:n]), (axis,))
+    if n_devices is None:
+        n_devices = len(devs)
+    if not 1 <= n_devices <= len(devs):
+        # silent clamping would mis-attribute a benchmark's device count
+        raise ValueError(f"n_devices={n_devices} but {len(devs)} device(s) "
+                         "are available")
+    return Mesh(np.array(devs[:n_devices]), (axis,))
 
 
 class ParallelStreams:
@@ -136,7 +141,10 @@ class ParallelStreams:
             smapped = shard_map(local_step, mesh=self.mesh,
                                 in_specs=(spec, spec, P()),
                                 out_specs=(spec, spec), check_rep=False)
-        self._spmd_jit = jax.jit(smapped)   # exposed for HLO inspection
+        # donate the stacked carry like the single-stream program does —
+        # without it every SPMD step double-buffers the whole S-stream
+        # state (~S x 400 MB at full scale) instead of updating in place
+        self._spmd_jit = jax.jit(smapped, donate_argnums=(0,))
         # Replicate the asset tree over the mesh ONCE.  Passing the
         # default-device `engine._assets` directly would make the runtime
         # re-shard (re-upload) the whole tree to every device on EVERY
@@ -163,16 +171,22 @@ class ParallelStreams:
 
         if not self.share_weights:
             # Each stream must own PRIVATE buffers: the engine's jitted step
-            # donates its carry, and device_put to the array's current
-            # device is a no-op alias — without the copy, two streams on the
+            # donates its carry, and device_put to the array's CURRENT
+            # device is a no-op alias — without a copy, two streams on the
             # default device would share (and double-donate) base's leaves.
+            # Cross-device device_put already materializes a private copy,
+            # so the explicit jnp.copy (a full ~state-sized transient on
+            # the default device) is paid only for same-device streams.
             D = len(self.devices)
-            return [
-                jax.device_put(
-                    jax.tree.map(jnp.copy, base._replace(rng=keys[s])),
-                    self.devices[s % D])
-                for s in range(S)
-            ]
+            base_dev = getattr(jax.tree.leaves(base)[0], "device", None)
+            out = []
+            for s in range(S):
+                st = base._replace(rng=keys[s])
+                dev = self.devices[s % D]
+                if dev == base_dev:
+                    st = jax.tree.map(jnp.copy, st)
+                out.append(jax.device_put(st, dev))
+            return out
 
         if S % self.mesh.size != 0:
             raise ValueError(f"num_streams={S} must be divisible by mesh "
@@ -211,7 +225,7 @@ class ParallelStreams:
                       for s in range(S)]
         new_states, outs = [], []
         D = len(self.devices)
-        for s, (state, frame) in enumerate(zip(states, frames)):
+        for s, (state, frame) in enumerate(zip(states, frames, strict=True)):
             dev = self.devices[s % D]
             frame = jax.device_put(frame, dev)
             st, out = self.engine.step(state, frame,
@@ -222,16 +236,17 @@ class ParallelStreams:
 
 
 def stack_frames(items: list[dict], keypoint_source: str = "gt") -> Frame:
-    """Stack one frame from each of S streams into a (S, 1, ...) Frame."""
-    j2d_key = "op_j2d" if keypoint_source == "openpose" else "smpl_j2d"
-    return Frame(
-        image=jnp.asarray(np.stack([it["image"][None] for it in items])),
-        j2d=jnp.asarray(np.stack([it[j2d_key][None] for it in items])),
-        pose=jnp.asarray(np.stack([it["pose"][None] for it in items])),
-        betas=jnp.asarray(np.stack([it["betas"][None] for it in items])),
-        gender=jnp.asarray(
-            np.stack([[np.int32(it["gender"])] for it in items])),
-    )
+    """Stack one frame from each of S streams into a (S, 1, ...) Frame.
+
+    Per-item assembly delegates to ``runner.frame_from_item`` so fused
+    (``raw_image``) items and the ``mask`` field behave exactly like the
+    sequential path — structurally identical Frame pytrees share one
+    compiled program."""
+    from dynaboa_tpu.engine.runner import frame_from_item
+
+    fs = [frame_from_item(it, keypoint_source) for it in items]
+    return jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *fs)
 
 
 def stack_outs(outs: list[dict]) -> dict:
@@ -318,11 +333,16 @@ def _rss_mb() -> float:
     return float("nan")
 
 
-def run_parallel(engine, params, groups: list[list[dict]],
+def run_parallel(engine, params, groups: list,
                  mesh: Mesh | None = None, keypoint_source: str = "gt",
                  log=print, progress_every: int = 0) -> dict:
     """Adapt S independent streams concurrently across the mesh devices —
     the product entry for the scale-out path (``--parallel_streams``).
+
+    ``groups`` is one item sequence per stream — ``partition_items``' LAZY
+    StreamViews (items load on access) or plain lists; callers must NOT
+    materialize the views (that is the ~21 GB eager pattern the lazy
+    partition exists to prevent).
 
     Each stream carries PRIVATE weights/optimizer/history (adaptation
     starts from the base model per stream; nothing leaks across streams —
@@ -344,7 +364,12 @@ def run_parallel(engine, params, groups: list[list[dict]],
     mesh = mesh or make_mesh()
     par = ParallelStreams(engine, mesh)
     S = len(groups)
-    first = groups[0][0]
+    # probe the first NON-EMPTY stream for the crop resolution (an empty
+    # group is legal — unequal tracks — but all-empty has no work)
+    probe_s = next((s for s, g in enumerate(groups) if len(g)), None)
+    if probe_s is None:
+        raise ValueError("run_parallel: every stream is empty")
+    first = groups[probe_s][0]
     img_res = (first["image"].shape[0] if "image" in first
                else int(first.get("out_res", 224)))
     states = par.init_states(params, S, img_res=img_res)
@@ -403,12 +428,11 @@ def run_parallel(engine, params, groups: list[list[dict]],
             idx = pos[s] + len(ready[s])
             ready[s].append(pool.submit(load_one, s, idx))
 
-    # the img_res probe above already paid stream 0's first item load
+    # the img_res probe above already paid that stream's first item load
     # (disk read + crop on lazy views) — reuse it rather than loading twice
-    if len(groups[0]):
-        ready[0].append(pool.submit(
-            lambda: jax.device_put(frame_from_item(first, keypoint_source),
-                                   par.devices[0])))
+    ready[probe_s].append(pool.submit(
+        lambda: jax.device_put(frame_from_item(first, keypoint_source),
+                               par.devices[probe_s % D])))
 
     t0 = time.perf_counter()
     timed0 = 0          # `dispatched` snapshot at the last timer reset
@@ -463,14 +487,16 @@ def run_parallel(engine, params, groups: list[list[dict]],
         win = (np.concatenate(host_outs[s], axis=1) if host_outs[s]
                else np.zeros((3, 0, 1)))
         per_stream.append(
-            {k: float(win[j].mean())
+            {k: (float(win[j].mean()) if win.shape[1] else float("nan"))
              for j, k in enumerate(("mpjpe", "pampjpe", "pve"))}
             | {"frames": win.shape[1]})
     total = sum(p["frames"] for p in per_stream)
     # the timer starts after the warmup round; exclude those S frames
     fps = max(total - S, 1) / (time.perf_counter() - t0)
-    agg = {k: sum(p[k] * p["frames"] for p in per_stream) / total
-           for k in ("mpjpe", "pampjpe", "pve")}
+    # zero-frame streams report per-stream NaN but must not poison the
+    # frame-weighted aggregate (NaN * 0 is NaN, not 0)
+    agg = {k: sum(p[k] * p["frames"] for p in per_stream if p["frames"])
+           / total for k in ("mpjpe", "pampjpe", "pve")}
     log(f"[parallel x{S}] {total} frames over {D} device(s): "
         f"MPJPE:{agg['mpjpe']:.2f} PA:{agg['pampjpe']:.2f} "
         f"PVE:{agg['pve']:.2f} ({fps:.2f} aggregate fps)")
