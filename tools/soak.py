@@ -128,11 +128,58 @@ def soak_sequential(args) -> dict:
                            log_every=args.log_every)
     state2 = system.engine.init_state(system.params)
     t0 = time.time()
-    _, summary = runner2.run(stream, state2,
-                             resume_from=osp.join(exp, "checkpoint.npz"),
-                             auto_reset=True)
+    resumed_final, summary = runner2.run(
+        stream, state2, resume_from=osp.join(exp, "checkpoint.npz"),
+        auto_reset=True)
     wall_b = time.time() - t0
     rss_b = rss_mb()
+
+    # optional arm C: bit-exact resume at THIS scale.  A third fresh runner
+    # runs the SAME stream straight through (no kill, no checkpoints) from
+    # the same pristine weights; the kill+resume path above must land on the
+    # bitwise-identical final carry.  At full model scale this exercises the
+    # streamed multislice checkpoint writer end to end (the r4 soak caught a
+    # ragged-tail head/tail swap there that tiny single-slice states could
+    # not see — docs/PERF.md).  The injected NaN fires the auto_reset in
+    # both runs identically (it lands well before the kill boundary) —
+    # PROVIDED the control checkpoints on the same cadence: a checkpoint
+    # forces a deferred-record materialize, and auto_reset detection (hence
+    # the frame a reset applies at) rides the flush boundaries.  The first
+    # run of this check used checkpoint_every=0 for the control and caught
+    # exactly that: the echo reset landed at frame 164 vs 160 and the
+    # carries diverged wholesale.
+    bitexact = None
+    if args.bitexact:
+        import jax
+
+        stream.rss_every = 0
+        runner3 = StreamRunner(system.engine, args.expdir + "_ctl",
+                               checkpoint_every=ckpt_every,
+                               log_every=args.log_every)
+        state3 = system.engine.init_state(system.params)
+        t0 = time.time()
+        final3, _ = runner3.run(stream, state3, auto_reset=True)
+        wall_c = time.time() - t0
+        diffs = []
+        for a, b in zip(jax.tree.leaves(resumed_final),
+                        jax.tree.leaves(final3)):
+            a = np.asarray(a)
+            b = np.asarray(b)
+            same = a.shape == b.shape and a.dtype == b.dtype and bool(
+                np.array_equal(a, b, equal_nan=True))
+            if not same:
+                diffs.append(float(np.abs(
+                    a.astype(np.float64) - b.astype(np.float64)).max()))
+        bitexact = {
+            "resets_match": runner3.reset_count == runner2.reset_count
+            + resets_a,
+            "exact": not diffs,
+            "mismatched_leaves": len(diffs),
+            "max_abs_diff": max(diffs) if diffs else 0.0,
+            "control_wall_seconds": round(wall_c, 1),
+        }
+        print(f"[bitexact] resumed-vs-straight carry: {bitexact}",
+              flush=True)
 
     # fps stability: per-window fps over phase B's steady region
     st = runner2.step_times[runner2._first_batch_frames or 32:]
@@ -145,7 +192,9 @@ def soak_sequential(args) -> dict:
     else:
         windows = []
     res = {
-        "arm": "sequential",
+        # a --bitexact run is its own record: it must not overwrite the
+        # long 2500-frame soak entry in SOAK_r04.json
+        "arm": "sequential_bitexact" if args.bitexact else "sequential",
         "frames_total": N,
         "tiny": bool(args.tiny),
         "compute_dtype": cfg.compute_dtype,
@@ -174,10 +223,20 @@ def soak_sequential(args) -> dict:
                             if runner2.optim_step_record else None),
         "wall_seconds": round(wall_a + wall_b, 1),
     }
+    if bitexact is not None:
+        res["bitexact_resume"] = bitexact
+        assert bitexact["exact"], (
+            "kill+resume final carry differs from the straight run: "
+            f"{bitexact}")
     assert res["every_frame_seen_once"], res
     assert res["auto_resets"] >= 1, "injected NaN did not trigger auto_reset"
     growth = res["rss_steady_growth_mb"]
-    assert growth is not None and growth < args.rss_growth_limit_mb, res
+    if args.bitexact:
+        # a bitexact run is short by design (its claim is state equality,
+        # not RSS); phase B may not reach the steady-sample region
+        assert growth is None or growth < args.rss_growth_limit_mb, res
+    else:
+        assert growth is not None and growth < args.rss_growth_limit_mb, res
     return res
 
 
@@ -261,6 +320,10 @@ def main():
     ap.add_argument("--frames", type=int, default=2500)
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--bitexact", action="store_true",
+                    help="sequential arm: also run a straight-through "
+                    "control and require the kill+resume final carry to "
+                    "match it bitwise")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--checkpoint_every", type=int, default=250)
     ap.add_argument("--log_every", type=int, default=500)
@@ -289,7 +352,13 @@ def main():
     if osp.exists(args.out):
         with open(args.out) as f:
             existing = json.load(f)
-    existing[res["arm"]] = res
+    # the parallel arm proves different things per backend (CPU: the
+    # dispatch loop is bounded where no transfer journal exists; TPU: the
+    # journal bound holds at stream scale) — keep both records
+    key = res["arm"]
+    if key == "parallel" and res["backend"] != "cpu":
+        key = f"parallel_{res['backend']}"
+    existing[key] = res
     with open(args.out, "w") as f:
         json.dump(existing, f, indent=1)
     print(json.dumps(res, indent=1))
