@@ -144,23 +144,30 @@ def measure_streaming(system, frames, n_frames, label, thr=None):
     return fps, extra, state, mpjpes, warm_extra
 
 
-def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64):
+def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=128):
     """Trajectory-level bf16 qualification: adapt ``n_frames`` from
     IDENTICAL weights on the SAME frame sequence in bf16 and fp32, and
     bound (a) the final weight drift against the Adam bound (updates x lr
     x 4 — the docs/PARITY.md methodology: Adam's per-step update magnitude
     is ~lr, and sign flips of near-zero-gradient coordinates are bounded by
     a small multiple) and (b) the relative difference of the steady metric
-    (mean MPJPE over the last half) measured AGAINST A CHAOS CONTROL.
+    (mean MPJPE over the last half) measured AGAINST A CHAOS-CONTROL
+    ENSEMBLE.
 
-    The control: a third fp32 run from one-ULP-perturbed initial weights.
-    Adaptation trajectories are chaotic (64 chained Adam updates amplify
-    any infinitesimal difference), so the raw bf16-vs-fp32 metric delta is
-    dominated by chaos, not precision; bf16 is qualified if its metric
-    delta is within the chaos envelope (<= max(2%, 2x the control's
+    The controls: THREE extra fp32 runs from one-ULP-perturbed initial
+    weights (+1, +2 and -1 ULP).  Adaptation trajectories are chaotic
+    (chained Adam updates amplify any infinitesimal difference), so the
+    raw bf16-vs-fp32 metric delta is dominated by chaos, not precision;
+    the ensemble turns the envelope into an interval instead of one sample
+    (VERDICT r4 item 7) and the 128-frame horizon halves the steady-mean
+    variance vs r4's 64.  Controls reuse the compiled fp32 program, so the
+    ensemble costs seconds, not compiles.  bf16 is qualified if its metric
+    delta is within the chaos envelope (<= max(2%, 2x the worst control's
     delta)) AND its weight drift respects the Adam bound.  A single
     composed step can hide accumulation effects; this is the gate bench.py
     uses to pick the flagship dtype (VERDICT r3 item 4)."""
+    import dataclasses
+
     import jax
 
     fps16, extra16, st16, m16, w16 = measure_streaming(
@@ -168,19 +175,21 @@ def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64):
     fps32, extra32, st32, m32, w32 = measure_streaming(
         sys32, frames, n_frames, "fp32-traj")
 
-    # chaos control: same program/config/dtype as fp32, weights nudged by
-    # one ULP — its steady-metric delta vs fp32 IS the chaos envelope
-    import dataclasses
-
-    _, _, _, mctl, _ = measure_streaming(
-        dataclasses.replace(sys32, params=jax.tree.map(
-            lambda a: (a * (1.0 + 1.2e-7)).astype(a.dtype), sys32.params)),
-        frames, n_frames, "fp32-chaos-ctl")
-
+    # chaos controls: same program/config/dtype as fp32, weights nudged by
+    # ±1-2 ULP — their steady-metric deltas vs fp32 ARE the chaos envelope
+    ctl_rels = []
     tail = n_frames // 2
     steady32 = max(abs(m32[tail:].mean()), 1e-9)
+    for j, eps in enumerate((1.2e-7, 2.4e-7, -1.2e-7)):
+        _, _, _, mctl, _ = measure_streaming(
+            dataclasses.replace(sys32, params=jax.tree.map(
+                lambda a: (a * (1.0 + eps)).astype(a.dtype), sys32.params)),
+            frames, n_frames, f"fp32-chaos-ctl{j}")
+        ctl_rels.append(
+            float(abs(mctl[tail:].mean() - m32[tail:].mean()) / steady32))
+
     rel = abs(m16[tail:].mean() - m32[tail:].mean()) / steady32
-    rel_ctl = abs(mctl[tail:].mean() - m32[tail:].mean()) / steady32
+    rel_ctl = max(ctl_rels)
     # every update the weights integrated: warmup frame included (it runs
     # 1 + its own extras before the timed region)
     upd16 = (n_frames + 1) + extra16 * n_frames + w16
@@ -195,11 +204,13 @@ def qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64):
     drift_vs_bound = drift / (4.0 * n_updates * lr)
     log(f"[bf16-traj] {n_frames}-frame trajectory: steady mpjpe "
         f"bf16 {m16[tail:].mean():.4f} vs fp32 {m32[tail:].mean():.4f} "
-        f"({100 * rel:.3f}% rel; chaos control {100 * rel_ctl:.3f}%); "
+        f"({100 * rel:.3f}% rel; chaos-control ensemble "
+        f"{[round(100 * c, 3) for c in ctl_rels]}%); "
         f"weight drift {drift:.2e} "
         f"({drift_vs_bound:.2f}x of the {4.0 * n_updates * lr:.1e} "
         f"Adam bound)")
     return dict(rel=float(rel), rel_chaos_control=float(rel_ctl),
+                rel_chaos_controls=[round(c, 5) for c in ctl_rels],
                 drift=float(drift),
                 drift_vs_bound=float(drift_vs_bound),
                 fps16=fps16, fps32=fps32)
@@ -366,13 +377,33 @@ def measure_runner(system, label, n_frames=96):
     return summary["fps"]
 
 
-def main():
+FULL_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+
+
+def main(argv=None):
+    """Core arms, then the ONE stdout JSON line, then (``--full`` only) the
+    long-tail arms.
+
+    The headline JSON is a driver gate: it must not wait on the slowest
+    arm.  Round 4 put ~22 min of fresh compiles (windowed, parallel,
+    runner, three worst-case experiment configs) ahead of the print and
+    the driver killed the process first (BENCH_r04.json rc=124,
+    parsed=null — VERDICT r4 item 2).  The core arms compile exactly THREE
+    programs (bf16 step, fp32 step, chunk); everything else in the core
+    set reuses them (traced threshold/cap; the runner shares the streaming
+    executable).  ``--full`` additionally measures windowed / parallel /
+    worst-case-experiment arms and writes the complete result set to
+    BENCH_FULL.json; a later default run folds that artifact in under
+    ``supplementary_full_run`` so the driver record keeps the long-tail
+    numbers without re-paying their compiles."""
     # Short run: keep the tunnel client's replay journal (self-heals dropped
     # connections mid-bench); long streaming runs bound it instead — see
     # dynaboa_tpu.bound_transfer_journal.  Set here, not at module import:
     # tools import bench helpers and must not silently inherit the
     # unbounded-journal mode.
     os.environ.setdefault("DYNABOA_KEEP_TRANSFER_JOURNAL", "1")
+    full = "--full" in (argv if argv is not None else sys.argv[1:])
 
     import jax
 
@@ -390,11 +421,11 @@ def main():
     sys16 = build(cfg16)
     sys32 = build(cfg32)
 
-    # precision gate: TRAJECTORY-level (64 adapted frames from identical
+    # precision gate: TRAJECTORY-level (128 adapted frames from identical
     # weights — the weights themselves integrate any bf16-vs-fp32 error;
     # a single composed step cannot see that accumulation).  The two
     # trajectory runs double as the streaming-fps measurements.
-    q = qualify_bf16_trajectory(sys16, sys32, frames, n_frames=64)
+    q = qualify_bf16_trajectory(sys16, sys32, frames, n_frames=128)
     # gate: metric delta within the chaos envelope AND weight drift within
     # the Adam bound (see qualify_bf16_trajectory)
     use_bf16 = (q["rel"] <= max(0.02, 2.0 * q["rel_chaos_control"])
@@ -409,9 +440,52 @@ def main():
     realistic = measure_realistic(flag_sys, frames, flag_label)
     curve = measure_curve(flag_sys, frames, flag_label)
     fps_chunk = measure_chunked(flag_sys, frames, flag_label)
+    fps_runner = measure_runner(flag_sys, flag_label)
+
+    fps = max(fps_stream, fps_chunk)
+    result = {
+        "metric": "adapted_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+        "compute_dtype": "bfloat16" if use_bf16 else "float32",
+        "streaming_fps": round(fps_stream, 3),
+        "chunked_fps": round(fps_chunk, 3),
+        "chunk_size": CHUNK,
+        "worst_case_streaming_fps": round(wc_fps, 3),
+        "worst_case_extra_steps": round(wc_extra, 2),
+        "realistic_gate_fps": {str(k): v for k, v in realistic.items()},
+        "fps_vs_extra_steps": {str(k): v for k, v in curve.items()},
+        "runner_steady_fps": round(fps_runner, 3),
+        "fp32_streaming_fps": round(fps32_stream, 3),
+        "bf16_traj_mpjpe_rel": round(q["rel"], 5),
+        "bf16_traj_mpjpe_rel_chaos_controls": q["rel_chaos_controls"],
+        "bf16_traj_weight_drift_vs_adam_bound": round(q["drift_vs_bound"], 3),
+    }
+
+    if not full:
+        # fold in the committed long-tail artifact (a previous --full run)
+        try:
+            with open(FULL_ARTIFACT) as f:
+                prev = json.load(f)
+            result["supplementary_full_run"] = {
+                k: prev[k] for k in ("windowed8_aggregate_fps",
+                                     "parallel_1dev_fps",
+                                     "worst_case_experiments_fps")
+                if k in prev}
+            result["supplementary_full_run"]["note"] = (
+                "measured by `python bench.py --full` (see BENCH_FULL.json)")
+        except (OSError, ValueError, KeyError):
+            pass
+        print(json.dumps(result))
+        return
+
+    # --full: headline first (same contract — the long tail must not gate
+    # it), then the expensive arms, then the complete artifact
+    print(json.dumps(result), flush=True)
+
     fps_windowed = measure_windowed(flag_sys, frames, flag_label)
     fps_parallel = measure_parallel_1dev(flag_sys, frames, flag_label)
-    fps_runner = measure_runner(flag_sys, flag_label)
 
     # worst-case-latency experiments (flag-gated protocol divergences,
     # config.py fast_extra_updates / probe_res_factor; docs/PERF.md):
@@ -430,29 +504,14 @@ def main():
         wc_exp[name] = round(f, 2)
         del s
 
-    fps = max(fps_stream, fps_chunk)
-    print(json.dumps({
-        "metric": "adapted_frames_per_sec_per_chip",
-        "value": round(fps, 3),
-        "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
-        "compute_dtype": "bfloat16" if use_bf16 else "float32",
-        "streaming_fps": round(fps_stream, 3),
-        "chunked_fps": round(fps_chunk, 3),
-        "chunk_size": CHUNK,
-        "worst_case_streaming_fps": round(wc_fps, 3),
-        "worst_case_extra_steps": round(wc_extra, 2),
-        "worst_case_experiments_fps": wc_exp,
-        "realistic_gate_fps": {str(k): v for k, v in realistic.items()},
-        "fps_vs_extra_steps": {str(k): v for k, v in curve.items()},
+    result.update({
         "windowed8_aggregate_fps": round(fps_windowed, 3),
         "parallel_1dev_fps": round(fps_parallel, 3),
-        "runner_steady_fps": round(fps_runner, 3),
-        "fp32_streaming_fps": round(fps32_stream, 3),
-        "bf16_traj_mpjpe_rel": round(q["rel"], 5),
-        "bf16_traj_mpjpe_rel_chaos_control": round(q["rel_chaos_control"], 5),
-        "bf16_traj_weight_drift_vs_adam_bound": round(q["drift_vs_bound"], 3),
-    }))
+        "worst_case_experiments_fps": wc_exp,
+    })
+    with open(FULL_ARTIFACT, "w") as f:
+        json.dump(result, f, indent=1)
+    log(f"[full] complete result set written to {FULL_ARTIFACT}")
 
 
 if __name__ == "__main__":
