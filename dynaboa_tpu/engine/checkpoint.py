@@ -244,8 +244,14 @@ class AsyncCheckpointer:
     and file write overlap subsequent adaptation dispatches (numpy releases
     the GIL for the transfer), host in-flight memory stays bounded by the
     slice size, and reusing one thread keeps every checkpoint's allocations
-    in the same glibc arena.  At most one write is in flight: a new submit
-    first waits for the previous one (checkpoints are ordered)."""
+    in the same glibc arena.  At most one write is in flight: a blocking
+    submit waits for the previous one (checkpoints are ordered), a
+    ``block=False`` submit returns False instead — the graceful-degradation
+    path when the writer is slower than the checkpoint cadence (a 434 MB
+    checkpoint takes ~14-25 s on the 31 MB/s tunneled TPU; with
+    ``checkpoint_every`` producing frames faster than that, a blocking
+    submit couples the dispatch loop to checkpoint throughput — the r4
+    soak's 22 -> 9.9 fps collapse)."""
 
     def __init__(self):
         self._q: queue.Queue = queue.Queue()
@@ -274,14 +280,27 @@ class AsyncCheckpointer:
             finally:
                 self._done.set()
 
-    def submit(self, path: str, state: AdaptState) -> None:
+    @property
+    def busy(self) -> bool:
+        """True while a write is in flight."""
+        return not self._done.is_set()
+
+    def submit(self, path: str, state: AdaptState,
+               block: bool = True) -> bool:
+        """Queue a checkpoint write.  ``block=False`` refuses (returns
+        False) while the previous write is still in flight instead of
+        stalling the caller; the caller skips this interval and retries at
+        the next one with a fresher snapshot anyway."""
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
+        if not block and self.busy:
+            return False
         self.wait()
         manifest, packed = _pack_state(state)
         self._done.clear()
         self._q.put((path, manifest, packed))
+        return True
 
     def wait(self) -> None:
         self._done.wait()

@@ -259,6 +259,7 @@ class StreamRunner:
         self.step_times: list[float] = []
         self.reset_count: int = 0
         self.ckpt_failures: int = 0
+        self.ckpt_skipped: int = 0
         self.frames_seen: int = 0
 
     def reset_state(self, params, batch_size: int = 1,
@@ -504,6 +505,20 @@ class StreamRunner:
                 win_items = []
             flush()
             materialize()
+            if self.checkpoint_every and self.frames_seen:
+                # Periodic submits are skippable when the writer lags (see
+                # _checkpoint), so guarantee the on-disk resume point is the
+                # run's FINAL state: one blocking submit at run end (outside
+                # any timed region).  Failures are contained like the
+                # periodic ones — the checkpoint is the backup path.
+                try:
+                    self._ckpt.submit(
+                        osp.join(self.exppath, "checkpoint.npz"), state,
+                        block=True)
+                except RuntimeError as e:
+                    self.ckpt_failures += 1
+                    print(f"---> WARNING: {e} — run results are "
+                          f"unaffected; the final checkpoint was not saved")
         finally:
             try:
                 # checkpoint.npz is complete once run returns; a failed
@@ -533,10 +548,32 @@ class StreamRunner:
         permissions, a dropped tunnel hardening a fetch) must not abort an
         otherwise-healthy multi-hour adaptation run.  Failures surface from
         the worker at the NEXT submit/wait; warn, count, and keep going —
-        the next interval retries with a fresh snapshot."""
+        the next interval retries with a fresh snapshot.
+
+        The submit is NON-BLOCKING: if the previous write is still in
+        flight (the 434 MB fetch+write takes ~14-25 s on the tunneled TPU —
+        longer than a fast stream's checkpoint interval), this interval is
+        SKIPPED rather than stalling dispatch until the writer catches up.
+        A blocking submit here coupled the whole dispatch loop to
+        checkpoint throughput (the r4 soak's 22 -> 9.9 fps collapse,
+        SOAK_r04.json); the cost of skipping is only a staler resume
+        point — recoverability cadence degrades, throughput does not.
+        Adaptation state is unaffected either way (the deterministic
+        materialize boundary at the checkpoint cadence is handled by the
+        caller BEFORE this), so bit-exact-resume semantics don't depend on
+        which intervals actually wrote."""
         try:
-            self._ckpt.submit(osp.join(self.exppath, "checkpoint.npz"),
-                              state)
+            ok = self._ckpt.submit(osp.join(self.exppath, "checkpoint.npz"),
+                                   state, block=False)
+            if not ok:
+                self.ckpt_skipped += 1
+                if self.ckpt_skipped in (1, 10, 100) or \
+                        self.ckpt_skipped % 1000 == 0:
+                    print(f"---> checkpoint interval skipped (previous "
+                          f"write still in flight; {self.ckpt_skipped} "
+                          f"skipped so far) — the writer is slower than "
+                          f"checkpoint_every; resume point is the last "
+                          f"completed write")
         except RuntimeError as e:
             self.ckpt_failures += 1
             print(f"---> WARNING: {e} — run continues; the checkpoint "
@@ -695,6 +732,7 @@ class StreamRunner:
             "frames_total": n_total,
             "fps": 1.0 / mean(steady) if steady else 0.0,
             "checkpoint_failures": self.ckpt_failures,
+            "checkpoint_skipped": self.ckpt_skipped,
         }
         print("--- Final ---")
         print(f"MPJPE:{summary['mpjpe']}, PAMPJPE:{summary['pampjpe']}, "

@@ -168,6 +168,73 @@ class TestRunner:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_nonblocking_submit_skips_while_busy(self, engine, tmp_path,
+                                                 monkeypatch):
+        """submit(block=False) must refuse (return False) while the previous
+        write is in flight instead of stalling the caller — a blocking
+        submit couples the dispatch loop to checkpoint throughput when the
+        writer is slower than the cadence (the r4 soak's 22 -> 9.9 fps
+        collapse)."""
+        import threading
+        import time as _time
+
+        from dynaboa_tpu.engine import checkpoint as ckmod
+
+        eng, params = engine
+        state = eng.init_state(params, img_res=IMG)
+        release = threading.Event()
+        real_write = ckmod._write_packed
+
+        def slow_write(path, manifest, packed):
+            release.wait(timeout=30)
+            real_write(path, manifest, packed)
+
+        monkeypatch.setattr(ckmod, "_write_packed", slow_write)
+        ck = ckmod.AsyncCheckpointer()
+        p = str(tmp_path / "ck.npz")
+        assert ck.submit(p, state, block=False) is True
+        t0 = _time.perf_counter()
+        assert ck.submit(p, state, block=False) is False  # busy -> skip
+        assert _time.perf_counter() - t0 < 5.0            # and didn't stall
+        release.set()
+        ck.wait()
+        assert ck.submit(p, state, block=False) is True   # idle again
+        ck.wait()
+        ck.close()
+
+    def test_runner_skips_checkpoints_but_final_state_is_on_disk(
+            self, engine, tmp_path, monkeypatch):
+        """When the writer lags the cadence the runner SKIPS intervals
+        (counted in the summary) — but the run-end blocking checkpoint must
+        still leave the FINAL state on disk, so resume semantics never
+        depend on which intervals actually wrote."""
+        import time as _time
+
+        from dynaboa_tpu.engine import checkpoint as ckmod
+        from dynaboa_tpu.engine.checkpoint import load_state
+
+        eng, params = engine
+        stream = SyntheticStream(num_frames=6, img_res=IMG, seed=3)
+        real_write = ckmod._write_packed
+
+        def slow_write(path, manifest, packed):
+            # slower than the per-frame cadence (steady steps are ~0.1 s on
+            # the warm CPU engine), so later intervals find the worker busy
+            _time.sleep(1.5)
+            real_write(path, manifest, packed)
+
+        monkeypatch.setattr(ckmod, "_write_packed", slow_write)
+        exp = tmp_path / "x"
+        r = StreamRunner(eng, str(exp), checkpoint_every=1, log_every=100)
+        state, summary = r.run(stream, eng.init_state(params, img_res=IMG))
+        assert summary["checkpoint_skipped"] >= 1
+        restored = load_state(str(exp / "checkpoint.npz"),
+                              eng.init_state(params, img_res=IMG))
+        assert int(restored.step) == 6     # the FINAL state, not a stale one
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_checkpoint_failure_does_not_abort_run(self, engine, tmp_path):
         """Checkpoint writes are the backup path: when every write fails,
         the run must still complete, produce its artifacts, and count the
