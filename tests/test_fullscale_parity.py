@@ -30,7 +30,7 @@ XF = WIDTH * 8 * 4  # = 2048
 
 
 def run_fullscale(n_frames: int = 1, optim_steps: int = 2, thr: float = -1.0,
-                  seed: int = 0):
+                  seed: int = 0, retrieval: bool = False):
     """One (or more) composed dynamic-bilevel frames at full model scale,
     torch mirror vs engine, identical converter-mapped weights.
 
@@ -38,6 +38,14 @@ def run_fullscale(n_frames: int = 1, optim_steps: int = 2, thr: float = -1.0,
     comparison isolates the composed numerics (inner FO-MAML step, Adam
     through the clone, teacher EMA chain, motion, the [3,4,6,3] scan-stacked
     backbone in forwards AND gradients).
+
+    ``retrieval=True`` turns the on-device exemplar retrieval ON with a
+    singleton-cluster store (one member per cluster, as in the tiny-scale
+    TestComposedStepParityWithRetrieval): the reference's ``random.sample``
+    of one element and the engine's Gumbel top-k over one valid slot are
+    both deterministic, so the only remaining freedom — WHICH cluster each
+    side's 2048-d pooled feature selects, per update, at full backbone
+    scale — is exactly the retrieval semantics under test.
     """
     import torch
     import jax
@@ -82,9 +90,29 @@ def run_fullscale(n_frames: int = 1, optim_steps: int = 2, thr: float = -1.0,
         "pose_3d": torch.tensor(np.asarray(store.bank.pose_3d[:1])),
     }
 
+    torch_store = None
+    if retrieval:
+        # singleton clusters over the synthetic bank: deterministic draw,
+        # cluster CHOICE (argmax over centers, keyed per update on the
+        # carried pooled features) is the behavior under test
+        from dynaboa_tpu.engine.retrieval import ExemplarBank, build_store
+
+        n_clusters = 6
+        bank = ExemplarBank(*[a[:n_clusters] for a in store.bank])
+        centers = np.random.default_rng(21).normal(
+            size=(n_clusters, XF)).astype(np.float32)
+        store = build_store(centers, [[i] for i in range(n_clusters)], bank)
+        torch_store = (torch.tensor(centers), {
+            "img": torch.tensor(np.asarray(bank.images)).permute(0, 3, 1, 2),
+            "keypoints": torch.tensor(np.asarray(bank.keypoints)),
+            "pose": torch.tensor(np.asarray(bank.pose)),
+            "betas": torch.tensor(np.asarray(bank.betas)),
+            "pose_3d": torch.tensor(np.asarray(bank.pose_3d)),
+        })
+
     cfg = AdaptConfig(
         inner_step=1, interval=2, optim_steps=optim_steps,
-        record_lowerlevel=False, retrieval=False, sample_num=1,
+        record_lowerlevel=False, retrieval=retrieval, sample_num=1,
         dynamic_boa=True, use_meanteacher=True, use_motion=True,
         lower_level_mixtrain=True, upper_level_mixtrain=True,
         record_dynamic=False,
@@ -102,7 +130,7 @@ def run_fullscale(n_frames: int = 1, optim_steps: int = 2, thr: float = -1.0,
 
     # --- torch side (CPU) ---
     adaptor = trp.TorchRefAdaptor(copy.deepcopy(tnet), tsmpl, prior, cfg,
-                                  exemplar)
+                                  exemplar, store=torch_store)
     recs = []
     for fr in frames:
         recs.append(adaptor.adaptation(
@@ -142,7 +170,7 @@ def run_fullscale(n_frames: int = 1, optim_steps: int = 2, thr: float = -1.0,
 
     return {
         "layers": list(LAYERS), "width": WIDTH, "regressor_dim": RDIM,
-        "img_res": IMG, "n_frames": n_frames,
+        "img_res": IMG, "n_frames": n_frames, "retrieval": retrieval,
         "torch_extra_steps": t_extra, "jax_extra_steps": j_extra,
         "torch_upper_loss0": t_loss, "jax_upper_loss0": j_loss,
         "n_updates": n_updates,
@@ -170,3 +198,12 @@ def check_fullscale(res: dict):
     "committed run in PARITY_FULLSCALE.json)")
 def test_composed_step_parity_full_scale():
     check_fullscale(run_fullscale())
+
+
+@pytest.mark.skipif(
+    not FULLSCALE,
+    reason="full-scale composed parity takes tens of CPU-minutes; opt in "
+    "with DYNABOA_FULLSCALE=1 (tools/fullscale_parity.py --retrieval "
+    "--frames 5 records the committed run)")
+def test_composed_step_parity_full_scale_retrieval_on():
+    check_fullscale(run_fullscale(n_frames=5, retrieval=True))

@@ -31,6 +31,12 @@ def main():
                     help="composed frames to run (>=3 pins the multi-frame "
                          "Adam chain, teacher EMA drift and history-ring "
                          "interaction at full scale — VERDICT r3 item 5)")
+    ap.add_argument("--retrieval", action="store_true",
+                    help="turn on-device exemplar retrieval ON (singleton-"
+                         "cluster store; pins per-update cluster choice at "
+                         "full backbone scale — VERDICT r4 item 9).  The "
+                         "record lands under the 'retrieval_on' key next to "
+                         "the base run")
     ap.add_argument("--out", default=osp.join(ROOT, "PARITY_FULLSCALE.json"))
     args = ap.parse_args()
 
@@ -47,12 +53,20 @@ def main():
     from test_fullscale_parity import check_fullscale, run_fullscale
 
     t0 = time.time()
-    res = run_fullscale(n_frames=args.frames)
+    res = run_fullscale(n_frames=args.frames, retrieval=args.retrieval)
     res["wall_seconds"] = round(time.time() - t0, 1)
     res["backend"] = jax.default_backend()
     check_fullscale(res)
     res["checks"] = "PASSED (step counts equal, losses rtol<=5e-3, "
     res["checks"] += "weight/teacher drift under the Adam bound, sims atol<=5e-4)"
+    if args.retrieval:
+        # keep the base (retrieval-off) record intact; nest this arm
+        existing = {}
+        if osp.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        existing["retrieval_on"] = res
+        res = existing
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res, indent=1))

@@ -12,7 +12,7 @@ Two arms:
   partitioner would have materialized ~21 GB on this host; the lazy
   StreamView path must hold RSS under 2 GB.
 
-Writes ``SOAK_r04.json`` at the repo root; numbers are quoted by
+Writes ``SOAK_r05.json`` at the repo root; numbers are quoted by
 docs/PERF.md.
 
 Usage:
@@ -332,7 +332,7 @@ def main():
     ap.add_argument("--rss_every", type=int, default=80,
                     help="print host RSS every N item loads (diagnostics)")
     ap.add_argument("--expdir", default="/tmp/soak_exp")
-    ap.add_argument("--out", default=osp.join(ROOT, "SOAK_r04.json"))
+    ap.add_argument("--out", default=osp.join(ROOT, "SOAK_r05.json"))
     args = ap.parse_args()
 
     import jax
