@@ -389,14 +389,14 @@ def main(argv=None):
     arm.  Round 4 put ~22 min of fresh compiles (windowed, parallel,
     runner, three worst-case experiment configs) ahead of the print and
     the driver killed the process first (BENCH_r04.json rc=124,
-    parsed=null — VERDICT r4 item 2).  The core arms compile exactly THREE
-    programs (bf16 step, fp32 step, chunk); everything else in the core
-    set reuses them (traced threshold/cap; the runner shares the streaming
-    executable).  ``--full`` additionally measures windowed / parallel /
-    worst-case-experiment arms and writes the complete result set to
-    BENCH_FULL.json; a later default run folds that artifact in under
-    ``supplementary_full_run`` so the driver record keeps the long-tail
-    numbers without re-paying their compiles."""
+    parsed=null — VERDICT r4 item 2).  The core arms compile exactly TWO
+    programs (bf16 step, fp32 step); everything else in the core set
+    reuses them (traced threshold/cap; the runner shares the streaming
+    executable).  ``--full`` additionally measures chunked / windowed /
+    parallel / worst-case-experiment arms and writes the complete result
+    set to BENCH_FULL.json; a later default run folds that artifact in
+    under ``supplementary_full_run`` so the driver record keeps the
+    long-tail numbers without re-paying their compiles."""
     # Short run: keep the tunnel client's replay journal (self-heals dropped
     # connections mid-bench); long streaming runs bound it instead — see
     # dynaboa_tpu.bound_transfer_journal.  Set here, not at module import:
@@ -439,10 +439,12 @@ def main(argv=None):
 
     realistic = measure_realistic(flag_sys, frames, flag_label)
     curve = measure_curve(flag_sys, frames, flag_label)
-    fps_chunk = measure_chunked(flag_sys, frames, flag_label)
     fps_runner = measure_runner(flag_sys, flag_label)
 
-    fps = max(fps_stream, fps_chunk)
+    # headline = async streaming, the live mode — measured >= the chunked
+    # offline mode in every recorded run (BENCH_r02..r05); chunked moved to
+    # the --full tail to keep the core's compile count at two
+    fps = fps_stream
     result = {
         "metric": "adapted_frames_per_sec_per_chip",
         "value": round(fps, 3),
@@ -450,7 +452,6 @@ def main(argv=None):
         "vs_baseline": round(fps / 30.0, 3),
         "compute_dtype": "bfloat16" if use_bf16 else "float32",
         "streaming_fps": round(fps_stream, 3),
-        "chunked_fps": round(fps_chunk, 3),
         "chunk_size": CHUNK,
         "worst_case_streaming_fps": round(wc_fps, 3),
         "worst_case_extra_steps": round(wc_extra, 2),
@@ -469,7 +470,8 @@ def main(argv=None):
             with open(FULL_ARTIFACT) as f:
                 prev = json.load(f)
             result["supplementary_full_run"] = {
-                k: prev[k] for k in ("windowed8_aggregate_fps",
+                k: prev[k] for k in ("chunked_fps",
+                                     "windowed8_aggregate_fps",
                                      "parallel_1dev_fps",
                                      "worst_case_experiments_fps")
                 if k in prev}
@@ -484,6 +486,7 @@ def main(argv=None):
     # it), then the expensive arms, then the complete artifact
     print(json.dumps(result), flush=True)
 
+    fps_chunk = measure_chunked(flag_sys, frames, flag_label)
     fps_windowed = measure_windowed(flag_sys, frames, flag_label)
     fps_parallel = measure_parallel_1dev(flag_sys, frames, flag_label)
 
@@ -505,6 +508,7 @@ def main(argv=None):
         del s
 
     result.update({
+        "chunked_fps": round(fps_chunk, 3),
         "windowed8_aggregate_fps": round(fps_windowed, 3),
         "parallel_1dev_fps": round(fps_parallel, 3),
         "worst_case_experiments_fps": wc_exp,

@@ -181,16 +181,20 @@ def soak_sequential(args) -> dict:
         print(f"[bitexact] resumed-vs-straight carry: {bitexact}",
               flush=True)
 
-    # fps stability: per-window fps over phase B's steady region
+    # fps stability: per-window fps over each phase's steady region (the
+    # claim is phase B within ~10% of phase A AND flat window-over-window;
+    # r4 recorded only phase B and its 22 -> 9.9 collapse was the blocking
+    # checkpoint writer — VERDICT r4 item 4)
+    def fps_windows(r, W=500):
+        st = r.step_times[r._first_batch_frames or 32:]
+        if len(st) >= W:
+            return [round(1.0 / float(np.mean(st[i:i + W])), 2)
+                    for i in range(0, len(st) - W + 1, W)]
+        return [round(1.0 / float(np.mean(st)), 2)] if st else []
+
+    windows_a = fps_windows(runner)
+    windows = fps_windows(runner2)
     st = runner2.step_times[runner2._first_batch_frames or 32:]
-    W = 500
-    if len(st) >= W:
-        windows = [round(1.0 / float(np.mean(st[i:i + W])), 2)
-                   for i in range(0, len(st) - W + 1, W)]
-    elif st:
-        windows = [round(1.0 / float(np.mean(st)), 2)]
-    else:
-        windows = []
     res = {
         # a --bitexact run is its own record: it must not overwrite the
         # long 2500-frame soak entry in SOAK_r04.json
@@ -204,6 +208,9 @@ def soak_sequential(args) -> dict:
         "every_frame_seen_once": frames_a + runner2.frames_seen == N,
         "injected_nan_frames": sorted(nan_at),
         "auto_resets": resets_a + runner2.reset_count,
+        # intervals skipped because the previous 434 MB write was still in
+        # flight (expected >0 on the tunnel; dispatch must not stall on it)
+        "checkpoints_skipped": runner.ckpt_skipped + runner2.ckpt_skipped,
         "rss_mb": {"start": round(rss0, 1), "after_phase_a": round(rss_a, 1),
                    "end": round(rss_b, 1), "peak": round(peak_rss_mb(), 1)},
         # Steady-state growth: first in-run sample past the resume point's
@@ -212,6 +219,7 @@ def soak_sequential(args) -> dict:
         # STREAM LENGTH; one-off costs are reported via rss_mb above.
         "rss_growth_phase_b_mb": round(rss_b - rss_a, 1),
         "rss_steady_growth_mb": _steady_growth(stream.samples, half),
+        "fps_windows_500_phase_a": windows_a,
         "fps_windows_500": windows,
         "fps_steady": round(1.0 / float(np.mean(st)), 2) if st else None,
         # realized dynamic-gate behavior on this stream (context for the
