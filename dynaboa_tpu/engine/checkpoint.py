@@ -253,19 +253,32 @@ class AsyncCheckpointer:
     submit couples the dispatch loop to checkpoint throughput — the r4
     soak's 22 -> 9.9 fps collapse)."""
 
-    def __init__(self):
+    def __init__(self, duty: float = 1.0 / 3.0):
+        """``duty``: maximum fraction of wall time spent fetching/writing.
+        A full-model checkpoint streams ~434 MB over the same tunnel the
+        per-frame dispatches ride; back-to-back writes saturate it and
+        drag the dispatch loop ~5x (measured: ~11 fps vs ~50+ unloaded,
+        SOAK r5 first run).  After each write the checkpointer refuses
+        non-blocking submits for ``duration * (1 - duty) / duty`` — at the
+        default 1/3, a 20 s write is followed by a 40 s quiet period.
+        ``duty=1.0`` disables the cooldown (tests; fast local disks)."""
         self._q: queue.Queue = queue.Queue()
         self._done = threading.Event()
         self._done.set()
         self._thread: threading.Thread | None = None
         self._error: BaseException | None = None
+        self._duty = duty
+        self._cooldown_until = 0.0
 
     def _worker(self):
+        import time
+
         while True:
             item = self._q.get()
             if item is None:
                 return
             path, manifest, packed = item
+            t0 = time.monotonic()
             try:
                 _write_packed(path, manifest, packed)
             except BaseException as e:  # noqa: BLE001 — surfaced on wait()
@@ -278,6 +291,10 @@ class AsyncCheckpointer:
                 # wait()/submit().
                 self._error = e
             finally:
+                dur = time.monotonic() - t0
+                self._cooldown_until = (
+                    time.monotonic()
+                    + dur * (1.0 - self._duty) / max(self._duty, 1e-6))
                 self._done.set()
 
     @property
@@ -288,13 +305,17 @@ class AsyncCheckpointer:
     def submit(self, path: str, state: AdaptState,
                block: bool = True) -> bool:
         """Queue a checkpoint write.  ``block=False`` refuses (returns
-        False) while the previous write is still in flight instead of
-        stalling the caller; the caller skips this interval and retries at
-        the next one with a fresher snapshot anyway."""
+        False) while the previous write is still in flight OR cooling down
+        (see ``duty``) instead of stalling the caller; the caller skips
+        this interval and retries at the next one with a fresher snapshot
+        anyway."""
+        import time
+
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
-        if not block and self.busy:
+        if not block and (self.busy
+                          or time.monotonic() < self._cooldown_until):
             return False
         self.wait()
         manifest, packed = _pack_state(state)

@@ -190,7 +190,9 @@ class TestRunner:
             real_write(path, manifest, packed)
 
         monkeypatch.setattr(ckmod, "_write_packed", slow_write)
-        ck = ckmod.AsyncCheckpointer()
+        # duty=1.0: no post-write cooldown, so this test isolates the
+        # busy -> skip behavior (the cooldown is exercised below)
+        ck = ckmod.AsyncCheckpointer(duty=1.0)
         p = str(tmp_path / "ck.npz")
         assert ck.submit(p, state, block=False) is True
         t0 = _time.perf_counter()
@@ -199,6 +201,42 @@ class TestRunner:
         release.set()
         ck.wait()
         assert ck.submit(p, state, block=False) is True   # idle again
+        ck.wait()
+        ck.close()
+
+    def test_duty_cycle_cooldown(self, engine, tmp_path, monkeypatch):
+        """After a write the checkpointer refuses non-blocking submits for
+        duration * (1 - duty) / duty — checkpoint traffic must not saturate
+        the transport the dispatches ride (measured 5x dispatch drag from
+        back-to-back 434 MB writes, SOAK r5)."""
+        import time as _time
+
+        from dynaboa_tpu.engine import checkpoint as ckmod
+
+        eng, params = engine
+        state = eng.init_state(params, img_res=IMG)
+        real_write = ckmod._write_packed
+
+        def timed_write(path, manifest, packed):
+            _time.sleep(0.5)
+            real_write(path, manifest, packed)
+
+        monkeypatch.setattr(ckmod, "_write_packed", timed_write)
+        ck = ckmod.AsyncCheckpointer(duty=0.25)   # cooldown = 3x duration
+        p = str(tmp_path / "ck.npz")
+        assert ck.submit(p, state, block=False) is True
+        ck.wait()                                  # write done (>= 0.5 s)
+        assert ck.submit(p, state, block=False) is False   # cooling down
+        assert ck.submit(p, state, block=True) is True     # blocking ignores
+        ck.wait()
+        # after the cooldown elapses, non-blocking submits pass again
+        deadline = _time.perf_counter() + 15.0
+        while _time.perf_counter() < deadline:
+            if ck.submit(p, state, block=False):
+                break
+            _time.sleep(0.2)
+        else:
+            raise AssertionError("cooldown never elapsed")
         ck.wait()
         ck.close()
 
