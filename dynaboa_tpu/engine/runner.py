@@ -23,7 +23,8 @@ import jax
 import numpy as np
 
 from dynaboa_tpu.engine.bilevel import AdaptState, BilevelEngine, Frame
-from dynaboa_tpu.engine.checkpoint import AsyncCheckpointer, load_state
+from dynaboa_tpu.engine.checkpoint import (AsyncCheckpointer, load_state,
+                                           malloc_trim)
 from dynaboa_tpu.metrics.writer import ScalarWriter
 
 
@@ -334,6 +335,7 @@ class StreamRunner:
             # overlap with subsequent dispatches.
             deferred: list[tuple[int, Any, dict]] = []
             inflight: list[tuple[Any, list, int]] = []
+            drained_since_trim = 0
             win_t0 = time.perf_counter()
 
             def drain_one():
@@ -342,9 +344,18 @@ class StreamRunner:
                 # wall time since the previous drain divided by the frame
                 # count is the honest per-frame cost (a value fetch cannot
                 # misreport readiness — see docs/PERF.md).
-                nonlocal win_t0, state
+                nonlocal win_t0, state, drained_since_trim
                 handle, idx_meta, n_frames = inflight.pop(0)
                 outs_np = unpack_outputs(handle)
+                # per-window host buffers (packed fetches, frame uploads)
+                # are malloc'd and freed across threads; without periodic
+                # trims glibc's arenas keep the freed high-water and the
+                # RSS floor creeps ~0.04 MB/frame over long streams (the
+                # parallel dispatch loop does the same — SOAK r5 notes)
+                drained_since_trim += n_frames
+                if drained_since_trim >= 512:
+                    drained_since_trim = 0
+                    malloc_trim()
                 if not self._first_batch_frames:
                     # remember how many frames share the compile-tainted dt
                     self._first_batch_frames = n_frames
