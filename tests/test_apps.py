@@ -25,6 +25,7 @@ class TestBenchmarkApp:
         assert (exp / "setting.txt").exists()
         assert (exp / "scalars.jsonl").exists()
 
+    @pytest.mark.slow
     def test_parallel_streams_mode(self, tmp_path):
         """--parallel_streams N: the scale-out product path — N private
         adaptation streams dispatched across the device mesh."""
@@ -42,6 +43,7 @@ class TestBenchmarkApp:
 
 
 class TestStreamApp:
+    @pytest.mark.slow
     def test_video_end_to_end(self, tmp_path):
         cv2 = pytest.importorskip("cv2")
         from dynaboa_tpu.apps.stream import main
@@ -73,6 +75,7 @@ class TestStreamApp:
         assert frames == n
         assert osp.exists(out_video) and os.path.getsize(out_video) > 0
 
+    @pytest.mark.slow
     def test_video_end_to_end_test_basemodel(self, tmp_path):
         """--test_basemodel renders the FROZEN base model's mesh beside the
         adapted one (reference dynaboa_webcam.py:330-336,414-417): the
@@ -110,6 +113,7 @@ class TestStreamApp:
         assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == n
         cap.release()
 
+    @pytest.mark.slow
     def test_video_end_to_end_fused_preprocess(self, tmp_path):
         """Same stream surface with the on-device crop/resize/normalize
         (--fused_preprocess) instead of the host crop."""

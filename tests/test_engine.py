@@ -345,6 +345,7 @@ class TestInjectAssetsGuard:
         assert eng.store is eng._assets["store"]
 
 
+@pytest.mark.slow
 class TestWorstCaseExperiments:
     """Flag-gated worst-case-latency experiments (docs/PERF.md): both
     change the extra-update protocol and default OFF; these tests pin

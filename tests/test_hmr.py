@@ -202,6 +202,7 @@ class TestTorchParity:
             np.asarray(rotmat).reshape(-1, 3, 3), R_t, atol=2e-4
         )
 
+    @pytest.mark.slow
     def test_forward_parity_at_full_depth(self, rng):
         """The REAL ResNet-50 topology: [3,4,6,3] blocks, width 64, 224^2 —
         the converter's scan-stacking of 2/3/5/2 tail blocks per stage has

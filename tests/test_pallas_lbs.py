@@ -14,6 +14,7 @@ def model():
 
 
 class TestPallasSkinning:
+    @pytest.mark.slow
     def test_matches_jnp_lbs(self, model, rng):
         betas = jnp.asarray(rng.normal(size=(2, 10)).astype(np.float32))
         rotmats = jnp.asarray(random_rotmats(rng, 48).reshape(2, 24, 3, 3))

@@ -50,6 +50,7 @@ def make_items(rng, n):
 
 
 class TestParallelStreams:
+    @pytest.mark.slow
     def test_eight_streams_on_two_devices(self, par_setup, rng):
         par, params = par_setup
         S = 8  # 4 streams per device (time-sliced dispatches within a device)
@@ -112,6 +113,7 @@ class TestParallelStreams:
                                       np.asarray(outs[0]["mpjpe"]))
 
 
+@pytest.mark.slow
 class TestSharedWeights:
     def test_replicated_streams_converge_to_consensus(self, par_setup, rng):
         """share_weights: after every step the adapted weights are averaged
@@ -144,6 +146,7 @@ class TestSharedWeights:
             par.init_states(params, 5, img_res=IMG)
 
 
+@pytest.mark.slow
 class TestFullProgramParallel:
     """The FULL flagship program — dynamic BOA while_loop + teacher EMA +
     motion + mixtrain + retrieval — dispatched per device (what
@@ -266,6 +269,7 @@ class TestRunParallel:
         assert [len(g) for g in flat] == [3, 3, 2]
 
 
+@pytest.mark.slow
 class TestAssetPlumbing:
     def test_spmd_lowering_has_no_baked_constants(self, par_setup, rng):
         """share_weights traces the engine step under shard_map; the assets

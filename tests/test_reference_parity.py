@@ -621,6 +621,7 @@ def torch_params_as_jax_tree(net, like_tree, scan_blocks=False):
 # tests
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 class TestComposedStepParity:
     N_FRAMES = 4
 
@@ -683,6 +684,7 @@ class TestComposedStepParity:
         self._compare(parity_setup, thr, recs, state, outs)
 
 
+@pytest.mark.slow
 class TestComposedStepParityWithRetrieval:
     """The FULL program including on-device retrieval, pinned against the
     torch reference implementation.  The store has exactly one member per

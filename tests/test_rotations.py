@@ -108,6 +108,7 @@ class TestRotmatToAA:
         out = rotmat_to_aa(jnp.broadcast_to(jnp.eye(3), (2, 3, 3)))
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_grad_finite_everywhere(self, rng):
         R = jnp.asarray(random_rotmats(rng, 8))
         g = jax.grad(lambda r: rotmat_to_aa(r).sum())(R)

@@ -347,6 +347,7 @@ class TestRunner:
         assert osp.exists(str(tmp_path / "exp" / "image" / "Pred_0.png"))
         assert osp.exists(str(tmp_path / "exp" / "mesh" / "Pred_0.obj"))
 
+    @pytest.mark.slow
     def test_batched_window_adaptation(self, engine, tmp_path):
         """window_size=W: W frames share one bilevel update; per-frame
         metrics still come out for every frame (SURVEY §2d variant)."""
@@ -362,6 +363,7 @@ class TestRunner:
         # per-frame metrics are real per-frame values, not window copies
         assert len(set(np.round(runner.mpjpe_all, 6))) > 1
 
+    @pytest.mark.slow
     def test_window_composes_with_chunked_scan(self, engine, tmp_path):
         """chunk_size scans over WINDOWS: 8 frames = 4 windows of 2 = 2 scan
         dispatches of 2 windows each."""
@@ -398,6 +400,7 @@ class TestRunner:
         assert len(runner.mpjpe_all) == 5
         assert int(state.step) == 3            # 3 window updates
 
+    @pytest.mark.slow
     def test_per_step_trajectory_records(self, tmp_path):
         """The reference records sims + metrics after EVERY dynamic update
         (dynaboa_benchmark.py:158-191); the runner's artifacts must carry the
@@ -514,6 +517,7 @@ class TestRunner:
         assert int(reset.step) == 0
 
 
+@pytest.mark.slow
 class TestWindowTailPadding:
     """Streams whose length is not a multiple of window_size: the final
     partial window is padded + masked, never dropped — every frame is

@@ -90,6 +90,7 @@ class TestLBS:
         want = (np.asarray(model.v_template) - root) @ R[0].T + root
         np.testing.assert_allclose(np.asarray(verts[0]), want, atol=1e-4)
 
+    @pytest.mark.slow
     def test_grad_flows(self, model, rng):
         betas = jnp.asarray(rng.normal(size=(1, 10)).astype(np.float32))
 

@@ -58,6 +58,7 @@ class TestSMPLify:
 
 
 class TestHMRISO:
+    @pytest.mark.slow
     def test_dual_head_outputs(self, rng):
         model = HMRISO(layers=(1, 1, 1, 1), width=16, regressor_dim=64)
         x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
