@@ -381,6 +381,19 @@ FULL_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
 
 
+def _git_rev():
+    """HEAD commit of the repo this file lives in, or None outside git."""
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
 def main(argv=None):
     """Core arms, then the ONE stdout JSON line, then (``--full`` only) the
     long-tail arms.
@@ -465,18 +478,28 @@ def main(argv=None):
     }
 
     if not full:
-        # fold in the committed long-tail artifact (a previous --full run)
+        # Fold in the committed long-tail artifact (a previous --full run)
+        # — but only if it actually carries measurements, and always with
+        # provenance: the artifact is from an OLDER build whenever its
+        # recorded git_rev differs from HEAD, and the supplement must say
+        # so rather than passing stale numbers off as this run's.
         try:
             with open(FULL_ARTIFACT) as f:
                 prev = json.load(f)
-            result["supplementary_full_run"] = {
+            supp = {
                 k: prev[k] for k in ("chunked_fps",
                                      "windowed8_aggregate_fps",
                                      "parallel_1dev_fps",
                                      "worst_case_experiments_fps")
                 if k in prev}
-            result["supplementary_full_run"]["note"] = (
-                "measured by `python bench.py --full` (see BENCH_FULL.json)")
+            if supp:
+                rev, head = prev.get("git_rev"), _git_rev()
+                supp["note"] = (
+                    "measured by `python bench.py --full` "
+                    "(see BENCH_FULL.json)")
+                supp["measured_at_rev"] = rev or "unknown (pre-provenance)"
+                supp["stale"] = (rev is None or head is None or rev != head)
+                result["supplementary_full_run"] = supp
         except (OSError, ValueError, KeyError):
             pass
         print(json.dumps(result))
@@ -512,6 +535,9 @@ def main(argv=None):
         "windowed8_aggregate_fps": round(fps_windowed, 3),
         "parallel_1dev_fps": round(fps_parallel, 3),
         "worst_case_experiments_fps": wc_exp,
+        # provenance, so default runs that fold this artifact in can flag
+        # it as stale once the code moves on
+        "git_rev": _git_rev(),
     })
     with open(FULL_ARTIFACT, "w") as f:
         json.dump(result, f, indent=1)

@@ -269,6 +269,9 @@ class AsyncCheckpointer:
         self._error: BaseException | None = None
         self._duty = duty
         self._cooldown_until = 0.0
+        # why the last non-blocking submit returned False: "busy" (write
+        # still in flight) or "cooldown" (idle, duty-cycle bound)
+        self.last_refusal: str | None = None
 
     def _worker(self):
         import time
@@ -314,9 +317,18 @@ class AsyncCheckpointer:
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
-        if not block and (self.busy
-                          or time.monotonic() < self._cooldown_until):
-            return False
+        if not block:
+            # Record WHICH condition refused so the caller's skip log can
+            # distinguish "writer still in flight" (writer slower than the
+            # cadence) from "idle writer cooling down" (duty-cycle bound,
+            # expected with the default duty=1/3) — they call for opposite
+            # operator responses.
+            if self.busy:
+                self.last_refusal = "busy"
+                return False
+            if time.monotonic() < self._cooldown_until:
+                self.last_refusal = "cooldown"
+                return False
         self.wait()
         manifest, packed = _pack_state(state)
         self._done.clear()

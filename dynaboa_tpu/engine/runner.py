@@ -353,13 +353,19 @@ class StreamRunner:
                 # RSS floor creeps ~0.04 MB/frame over long streams (the
                 # parallel dispatch loop does the same — SOAK r5 notes)
                 drained_since_trim += n_frames
-                if drained_since_trim >= 512:
-                    drained_since_trim = 0
-                    malloc_trim()
                 if not self._first_batch_frames:
                     # remember how many frames share the compile-tainted dt
                     self._first_batch_frames = n_frames
                 dt = (time.perf_counter() - win_t0) / max(1, n_frames)
+                # Trim BETWEEN the dt computation and the next window's t0:
+                # the trim's wall time (tens of ms on a multi-GB heap) is a
+                # host-hygiene cost, not per-frame adaptation cost, and
+                # must not be charged to either timing window — step_times
+                # backs the runner fps summary, bench.py's runner arm, and
+                # the soak's window-flatness claim.
+                if drained_since_trim >= 512:
+                    drained_since_trim = 0
+                    malloc_trim()
                 win_t0 = time.perf_counter()
                 diverged_at = None
                 for (i, meta), out in zip(idx_meta, outs_np):
@@ -580,11 +586,23 @@ class StreamRunner:
                 self.ckpt_skipped += 1
                 if self.ckpt_skipped in (1, 10, 100) or \
                         self.ckpt_skipped % 1000 == 0:
-                    print(f"---> checkpoint interval skipped (previous "
-                          f"write still in flight; {self.ckpt_skipped} "
-                          f"skipped so far) — the writer is slower than "
-                          f"checkpoint_every; resume point is the last "
-                          f"completed write")
+                    # "busy" and "cooldown" call for opposite responses:
+                    # busy means the writer genuinely lags the cadence;
+                    # cooldown is the duty-cycle bound working as designed
+                    # on an idle writer (expected whenever checkpoint_every
+                    # < write_time/duty). Don't send operators hunting for
+                    # a slow writer that isn't slow.
+                    if self._ckpt.last_refusal == "cooldown":
+                        why = ("writer idle but cooling down — the "
+                               "bandwidth duty cycle bounds write "
+                               "frequency; raise checkpoint_every or the "
+                               "duty to write more often")
+                    else:
+                        why = ("previous write still in flight — the "
+                               "writer is slower than checkpoint_every")
+                    print(f"---> checkpoint interval skipped "
+                          f"({self.ckpt_skipped} skipped so far; {why}; "
+                          f"resume point is the last completed write)")
         except RuntimeError as e:
             self.ckpt_failures += 1
             print(f"---> WARNING: {e} — run continues; the checkpoint "

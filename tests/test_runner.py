@@ -198,6 +198,9 @@ class TestRunner:
         t0 = _time.perf_counter()
         assert ck.submit(p, state, block=False) is False  # busy -> skip
         assert _time.perf_counter() - t0 < 5.0            # and didn't stall
+        # the refusal names its cause so the runner's skip log doesn't
+        # blame a slow writer for a duty-cycle skip (or vice versa)
+        assert ck.last_refusal == "busy"
         release.set()
         ck.wait()
         assert ck.submit(p, state, block=False) is True   # idle again
@@ -227,6 +230,7 @@ class TestRunner:
         assert ck.submit(p, state, block=False) is True
         ck.wait()                                  # write done (>= 0.5 s)
         assert ck.submit(p, state, block=False) is False   # cooling down
+        assert ck.last_refusal == "cooldown"               # idle, not busy
         assert ck.submit(p, state, block=True) is True     # blocking ignores
         ck.wait()
         # after the cooldown elapses, non-blocking submits pass again

@@ -59,14 +59,20 @@ def main():
     check_fullscale(res)
     res["checks"] = "PASSED (step counts equal, losses rtol<=5e-3, "
     res["checks"] += "weight/teacher drift under the Adam bound, sims atol<=5e-4)"
+    # merge with any existing record so neither arm clobbers the other:
+    # a --retrieval run nests under "retrieval_on" (preserving the base
+    # record), and a base run REPLACES only the base keys (preserving a
+    # previously recorded retrieval_on arm — it costs tens of CPU-minutes
+    # to regenerate).
+    existing = {}
+    if osp.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
     if args.retrieval:
-        # keep the base (retrieval-off) record intact; nest this arm
-        existing = {}
-        if osp.exists(args.out):
-            with open(args.out) as f:
-                existing = json.load(f)
         existing["retrieval_on"] = res
         res = existing
+    elif "retrieval_on" in existing:
+        res["retrieval_on"] = existing["retrieval_on"]
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res, indent=1))

@@ -208,8 +208,10 @@ def soak_sequential(args) -> dict:
         "every_frame_seen_once": frames_a + runner2.frames_seen == N,
         "injected_nan_frames": sorted(nan_at),
         "auto_resets": resets_a + runner2.reset_count,
-        # intervals skipped because the previous 434 MB write was still in
-        # flight (expected >0 on the tunnel; dispatch must not stall on it)
+        # intervals skipped by the non-blocking submit — either the
+        # previous 434 MB write was still in flight OR the idle writer was
+        # inside its duty-cycle cooldown (the common case with duty=1/3;
+        # expected >0 on the tunnel; dispatch must not stall either way)
         "checkpoints_skipped": runner.ckpt_skipped + runner2.ckpt_skipped,
         "rss_mb": {"start": round(rss0, 1), "after_phase_a": round(rss_a, 1),
                    "end": round(rss_b, 1), "peak": round(peak_rss_mb(), 1)},
