@@ -12,6 +12,7 @@ import numpy as np  # noqa: E402
 
 from sweep import parse_grid  # noqa: E402
 from build_retrieval import kmeans  # noqa: E402
+from fullscale_parity import merge_record  # noqa: E402
 
 
 class TestSweepGrid:
@@ -64,3 +65,41 @@ class TestRetrievalKMeans:
         centers, _ = kmeans(feats, k=3, seed=0)
         np.testing.assert_allclose(np.linalg.norm(centers, axis=1), 1.0,
                                    atol=1e-5)
+
+
+class TestParityRecordMerge:
+    """The PARITY_FULLSCALE.json merge must be symmetric: neither arm may
+    clobber the other's committed evidence (each costs tens of CPU-minutes
+    to regenerate)."""
+
+    def test_retrieval_run_preserves_base(self):
+        base = {"frames": 5, "checks": "PASSED"}
+        ret = {"frames": 5, "retrieval": True}
+        out = merge_record(base, ret, retrieval=True)
+        assert out["frames"] == 5 and out["checks"] == "PASSED"
+        assert out["retrieval_on"] is ret
+
+    def test_base_rerun_preserves_retrieval_arm(self):
+        on_disk = {"frames": 3, "retrieval_on": {"frames": 5}}
+        fresh = {"frames": 7}
+        out = merge_record(on_disk, fresh, retrieval=False)
+        assert out["frames"] == 7                      # base keys replaced
+        assert out["retrieval_on"] == {"frames": 5}    # arm preserved
+
+    def test_retrieval_rerun_replaces_only_that_arm(self):
+        on_disk = {"frames": 3, "retrieval_on": {"frames": 5}}
+        fresh = {"frames": 9}
+        out = merge_record(on_disk, fresh, retrieval=True)
+        assert out["frames"] == 3
+        assert out["retrieval_on"] == {"frames": 9}
+
+    def test_empty_disk_both_arms(self):
+        assert merge_record({}, {"a": 1}, retrieval=False) == {"a": 1}
+        assert merge_record({}, {"a": 1}, retrieval=True) == \
+            {"retrieval_on": {"a": 1}}
+
+    def test_inputs_not_mutated(self):
+        on_disk = {"frames": 3}
+        fresh = {"frames": 5}
+        merge_record(on_disk, fresh, retrieval=True)
+        assert on_disk == {"frames": 3} and fresh == {"frames": 5}

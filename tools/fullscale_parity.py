@@ -23,6 +23,22 @@ sys.path.insert(0, ROOT)
 sys.path.insert(0, osp.join(ROOT, "tests"))
 
 
+def merge_record(existing: dict, res: dict, retrieval: bool) -> dict:
+    """Merge a fresh parity record with the on-disk one so neither arm
+    clobbers the other: a --retrieval run nests under ``retrieval_on``
+    (preserving the base record), and a base run replaces only the base
+    keys (preserving a previously recorded retrieval_on arm — it costs
+    tens of CPU-minutes to regenerate)."""
+    if retrieval:
+        existing = dict(existing)
+        existing["retrieval_on"] = res
+        return existing
+    res = dict(res)
+    if "retrieval_on" in existing:
+        res["retrieval_on"] = existing["retrieval_on"]
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
@@ -59,20 +75,11 @@ def main():
     check_fullscale(res)
     res["checks"] = "PASSED (step counts equal, losses rtol<=5e-3, "
     res["checks"] += "weight/teacher drift under the Adam bound, sims atol<=5e-4)"
-    # merge with any existing record so neither arm clobbers the other:
-    # a --retrieval run nests under "retrieval_on" (preserving the base
-    # record), and a base run REPLACES only the base keys (preserving a
-    # previously recorded retrieval_on arm — it costs tens of CPU-minutes
-    # to regenerate).
     existing = {}
     if osp.exists(args.out):
         with open(args.out) as f:
             existing = json.load(f)
-    if args.retrieval:
-        existing["retrieval_on"] = res
-        res = existing
-    elif "retrieval_on" in existing:
-        res["retrieval_on"] = existing["retrieval_on"]
+    res = merge_record(existing, res, args.retrieval)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res, indent=1))
