@@ -394,6 +394,29 @@ def _git_rev():
         return None
 
 
+def _perf_code_changed_since(rev):
+    """True if any perf-relevant code changed between ``rev`` and the
+    working tree — the honest staleness test for a committed BENCH_FULL
+    artifact.  Comparing revs directly would mark the artifact stale
+    forever (the commit ADDING it necessarily moves HEAD past the rev it
+    was measured at); what actually invalidates the numbers is a change
+    to the measured code, so diff the compute paths.  Unknown/invalid rev
+    (or no git) => assume stale."""
+    import subprocess
+    if not rev:
+        return True
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run(
+            ["git", "-C", root, "diff", "--quiet", rev, "--",
+             "dynaboa_tpu", "native", "bench.py"],
+            capture_output=True, timeout=10)
+        # rc 0: no change; rc 1: changed; other: bad rev/not a repo
+        return r.returncode != 0
+    except (OSError, subprocess.SubprocessError):
+        return True
+
+
 def main(argv=None):
     """Core arms, then the ONE stdout JSON line, then (``--full`` only) the
     long-tail arms.
@@ -493,12 +516,12 @@ def main(argv=None):
                                      "worst_case_experiments_fps")
                 if k in prev}
             if supp:
-                rev, head = prev.get("git_rev"), _git_rev()
+                rev = prev.get("git_rev")
                 supp["note"] = (
                     "measured by `python bench.py --full` "
                     "(see BENCH_FULL.json)")
                 supp["measured_at_rev"] = rev or "unknown (pre-provenance)"
-                supp["stale"] = (rev is None or head is None or rev != head)
+                supp["stale"] = _perf_code_changed_since(rev)
                 result["supplementary_full_run"] = supp
         except (OSError, ValueError, KeyError):
             pass
