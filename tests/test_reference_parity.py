@@ -488,7 +488,7 @@ class TorchRefAdaptor:
 
         sims = []
         extra = 0
-        first_upper_loss = float(upper_loss)
+        first_upper_loss = float(upper_loss.detach())
         if cfg.dynamic_boa:
             adapted = self._feat12(image)
             feat_12 = F.cosine_similarity(
