@@ -18,10 +18,13 @@ in three modes:
   1 + optim_steps updates (threshold is a traced scalar — same program).
 
 The flagship path runs backbone convs in bfloat16 (params/updates/GroupNorm
-stay float32), gated on a TRAJECTORY-level precision check vs float32: 64
-adapted frames from identical weights, comparing the steady metric (last 32
-frames) and bounding the final weight drift against the Adam bound
-(docs/PARITY.md methodology).  ``record_lowerlevel`` is off: it only
+stay float32), gated on a TRAJECTORY-level precision check vs float32: 128
+adapted frames from identical weights, comparing the steady metric (mean
+MPJPE over the last half) against a THREE-RUN chaos-control ensemble (fp32
+trajectories whose
+initial weights differ by 1-2 ULP bound the chaotic spread any sub-ULP
+perturbation produces) and bounding the final weight drift against the Adam
+bound (docs/PARITY.md methodology; ``qualify_bf16_trajectory`` below).  ``record_lowerlevel`` is off: it only
 feeds the per-inner-step log (the reference's equivalent inference call,
 dynaboa_benchmark.py:142, is likewise log-only).
 
@@ -417,6 +420,13 @@ def _perf_code_changed_since(rev):
         return True
 
 
+def _head_if_perf_tree_clean():
+    """HEAD, or None when the perf paths carry uncommitted edits (the
+    artifact must then always be treated as stale)."""
+    rev = _git_rev()
+    return rev if rev and not _perf_code_changed_since(rev) else None
+
+
 def main(argv=None):
     """Core arms, then the ONE stdout JSON line, then (``--full`` only) the
     long-tail arms.
@@ -558,9 +568,13 @@ def main(argv=None):
         "windowed8_aggregate_fps": round(fps_windowed, 3),
         "parallel_1dev_fps": round(fps_parallel, 3),
         "worst_case_experiments_fps": wc_exp,
-        # provenance, so default runs that fold this artifact in can flag
-        # it as stale once the code moves on
-        "git_rev": _git_rev(),
+        # Provenance, so default runs that fold this artifact in can flag
+        # it as stale once the code moves on.  A DIRTY perf tree records
+        # None (=> always treated stale): HEAD does not describe the code
+        # that was measured, and if the edits are later reverted instead
+        # of committed, a rev-stamped artifact would wrongly read as
+        # current forever.
+        "git_rev": _head_if_perf_tree_clean(),
     })
     with open(FULL_ARTIFACT, "w") as f:
         json.dump(result, f, indent=1)

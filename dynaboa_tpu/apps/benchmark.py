@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run on N synthetic frames instead of 3DPW")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--checkpoint_duty", type=float, default=1.0 / 3.0,
+                   help="fraction of wall time the async checkpoint writer "
+                        "may spend writing (bounds checkpoint bandwidth on "
+                        "shared transports); 1.0 disables the cooldown — "
+                        "use on fast local disks")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--parallel_streams", type=int, default=0,
@@ -206,6 +211,7 @@ def main(argv=None):
         system.engine, exppath,
         save_predictions=bool(args.save_res),
         checkpoint_every=args.checkpoint_every,
+        checkpoint_duty=getattr(args, "checkpoint_duty", 1.0 / 3.0),
         profile_dir=args.profile_dir,
         save_overlays=bool(args.save_res),
         img_root=paths.pw3d_root,

@@ -49,6 +49,8 @@ def main(argv=None):
 
     runner = StreamRunner(system.engine, exppath, save_predictions=True,
                           checkpoint_every=args.checkpoint_every,
+                          checkpoint_duty=getattr(args, "checkpoint_duty",
+                                                  1.0 / 3.0),
                           profile_dir=args.profile_dir,
                           save_overlays=bool(getattr(args, "save_res", 0)),
                           # InternetStream imgnames are relative to the

@@ -24,6 +24,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # pytest.ini's `addopts = -m "not slow"` keeps the default selection
+    # fast, but it also applies to tests named EXPLICITLY by node id —
+    # `pytest tests/test_x.py::TestY::test_z` on a slow test would print
+    # "deselected" and exit 5 instead of running it.  Naming a test (or
+    # class) is the clearest possible selection intent, so drop the
+    # marker filter whenever a positional arg is a node id.
+    if config.option.markexpr == "not slow" and \
+            any("::" in str(a) for a in config.args):
+        config.option.markexpr = ""
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

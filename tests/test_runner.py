@@ -277,6 +277,76 @@ class TestRunner:
                         jax.tree.leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_stale_write_error_does_not_abandon_final_checkpoint(
+            self, engine, tmp_path, monkeypatch):
+        """A pending failure from an EARLIER periodic write surfaces inside
+        the run-end blocking submit (its wait() raises before the final
+        state is queued).  That stale, already-cleared error must not
+        abandon the guaranteed final checkpoint — the runner retries once
+        and the FINAL state lands on disk."""
+        from dynaboa_tpu.engine import checkpoint as ckmod
+        from dynaboa_tpu.engine.checkpoint import load_state
+
+        eng, params = engine
+        # Frame 2's periodic write FAILS, and a near-zero duty makes the
+        # post-write cooldown effectively infinite so no later periodic
+        # submit passes the gate to surface (and clear) the error — the
+        # exact scenario from the review: a stale failure still pending
+        # when the run-end blocking submit's wait() runs.
+        stream = SyntheticStream(num_frames=5, img_res=IMG, seed=3)
+        real_write = ckmod._write_packed
+        calls = []
+
+        def flaky_write(path, manifest, packed):
+            calls.append(path)
+            if len(calls) == 1:           # the only periodic write fails
+                raise OSError("injected tunnel drop")
+            real_write(path, manifest, packed)
+
+        monkeypatch.setattr(ckmod, "_write_packed", flaky_write)
+        exp = tmp_path / "x"
+        r = StreamRunner(eng, str(exp), checkpoint_every=2, log_every=100,
+                         checkpoint_duty=1e-6)
+        state, summary = r.run(stream, eng.init_state(params, img_res=IMG))
+        assert summary["checkpoint_failures"] >= 1
+        restored = load_state(str(exp / "checkpoint.npz"),
+                              eng.init_state(params, img_res=IMG))
+        assert int(restored.step) == 5    # final state, despite the failure
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_final_checkpoint_skipped_when_periodic_covered_it(
+            self, engine, tmp_path, monkeypatch):
+        """When the last periodic write already captured the final state
+        and completed cleanly, run end must NOT pay a redundant full
+        rewrite (434 MB / 14-25 s at full scale) for a byte-identical
+        resume point."""
+        from dynaboa_tpu.engine import checkpoint as ckmod
+        from dynaboa_tpu.engine.checkpoint import load_state
+
+        eng, params = engine
+        # 4 frames / every=2: periodic writes at frames 2 and 4 — frame 4
+        # IS the final state, so exactly 2 writes total, not 3
+        stream = SyntheticStream(num_frames=4, img_res=IMG, seed=3)
+        real_write = ckmod._write_packed
+        calls = []
+
+        def counting_write(path, manifest, packed):
+            calls.append(path)
+            real_write(path, manifest, packed)
+
+        monkeypatch.setattr(ckmod, "_write_packed", counting_write)
+        exp = tmp_path / "x"
+        # duty=1.0: no cooldown, so both periodic intervals actually write
+        r = StreamRunner(eng, str(exp), checkpoint_every=2, log_every=100,
+                         checkpoint_duty=1.0)
+        state, summary = r.run(stream, eng.init_state(params, img_res=IMG))
+        assert len(calls) == 2, f"expected 2 writes, saw {len(calls)}"
+        restored = load_state(str(exp / "checkpoint.npz"),
+                              eng.init_state(params, img_res=IMG))
+        assert int(restored.step) == 4
+
     def test_checkpoint_failure_does_not_abort_run(self, engine, tmp_path):
         """Checkpoint writes are the backup path: when every write fails,
         the run must still complete, produce its artifacts, and count the

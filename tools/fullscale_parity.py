@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import os.path as osp
 import sys
 import time
@@ -68,6 +69,24 @@ def main():
 
     from test_fullscale_parity import check_fullscale, run_fullscale
 
+    # Load the existing record BEFORE the tens-of-CPU-minutes run: a
+    # corrupt/truncated file (e.g. a previous run killed mid-dump) must
+    # fail the merge up front — or degrade to a fresh record with a loud
+    # warning — not crash after the expensive parity run completes.
+    existing = {}
+    if osp.exists(args.out):
+        try:
+            with open(args.out) as f:
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                existing = loaded
+            else:
+                print(f"WARNING: {args.out} is not a JSON object; "
+                      f"starting a fresh record", file=sys.stderr)
+        except (OSError, ValueError) as e:
+            print(f"WARNING: could not read existing {args.out} ({e}); "
+                  f"starting a fresh record", file=sys.stderr)
+
     t0 = time.time()
     res = run_fullscale(n_frames=args.frames, retrieval=args.retrieval)
     res["wall_seconds"] = round(time.time() - t0, 1)
@@ -75,13 +94,12 @@ def main():
     check_fullscale(res)
     res["checks"] = "PASSED (step counts equal, losses rtol<=5e-3, "
     res["checks"] += "weight/teacher drift under the Adam bound, sims atol<=5e-4)"
-    existing = {}
-    if osp.exists(args.out):
-        with open(args.out) as f:
-            existing = json.load(f)
     res = merge_record(existing, res, args.retrieval)
-    with open(args.out, "w") as f:
+    # atomic replace: a killed run must never leave a truncated record
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(res, f, indent=1)
+    os.replace(tmp, args.out)
     print(json.dumps(res, indent=1))
 
 
