@@ -58,3 +58,24 @@ def extract_all(video_dir: str):
     for vid in glob.glob(osp.join(video_dir, "*.mp4")):
         name = osp.basename(vid)[:-4]
         video_to_images(vid, osp.join(video_dir, "images", name))
+
+
+def main(argv=None):
+    """CLI parity with ``python vid2img.py`` (reference vid2img.py:26-28):
+    decode every mp4 under the internet-data root (or --video_dir)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--video_dir", type=str, default=None,
+                   help="directory of .mp4 files (default: INTERNET_ROOT)")
+    args = p.parse_args(argv)
+    video_dir = args.video_dir
+    if video_dir is None:
+        from dynaboa_tpu.config import Paths
+
+        video_dir = Paths().internet_root
+    extract_all(video_dir)
+
+
+if __name__ == "__main__":
+    main()
