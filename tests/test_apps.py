@@ -258,3 +258,28 @@ class TestTransferJournalBound:
         monkeypatch.delenv("DYNABOA_KEEP_TRANSFER_JOURNAL", raising=False)
         dynaboa_tpu.bound_transfer_journal()
         assert os.environ["AXON_JOURNAL_COMPACT"] == "0"
+
+
+class TestVid2Img:
+    """The vid2img-parity extractor (reference vid2img.py:26-28): decode
+    every mp4 under a directory into {dir}/images/{name}/%06d.png."""
+
+    def test_cli_extracts_frames(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from dynaboa_tpu.data.preprocess.video import main
+
+        vid = str(tmp_path / "clip.mp4")
+        w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5,
+                            (32, 24))
+        for i in range(4):
+            w.write(np.full((24, 32, 3), 40 + i * 40, np.uint8))
+        w.release()
+
+        main(["--video_dir", str(tmp_path)])
+
+        out = tmp_path / "images" / "clip"
+        frames = sorted(p.name for p in out.glob("*.png"))
+        assert frames == [f"{i:06d}.png" for i in range(1, 5)]
+        # codecs are lossy; just pin the monotone brightness ramp
+        means = [cv2.imread(str(out / f)).mean() for f in frames]
+        assert all(b > a + 20 for a, b in zip(means, means[1:])), means
