@@ -6,6 +6,9 @@ from dynaboa_tpu.losses.priors import (
     default_gmm_path,
     synthetic_gmm_prior,
     gmm_prior_nll,
+    gmm_prior_nll_full,
+    gmm_mean_pose,
+    create_prior,
     shape_prior,
     angle_prior,
     l2_prior,
@@ -24,7 +27,8 @@ from dynaboa_tpu.losses.adaptation import (
 
 __all__ = [
     "GMMPrior", "load_gmm_prior", "default_gmm_path", "synthetic_gmm_prior",
-    "gmm_prior_nll", "shape_prior", "angle_prior", "l2_prior",
+    "gmm_prior_nll", "gmm_prior_nll_full", "gmm_mean_pose", "create_prior",
+    "shape_prior", "angle_prior", "l2_prior",
     "keypoint_2d_loss", "keypoint_2d_loss_openpose", "pose_prior_loss",
     "frame_loss", "teacher_loss", "aligned_s3d_loss", "labeled_loss",
     "motion_loss", "feature_cosine_similarities",

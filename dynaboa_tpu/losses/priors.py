@@ -28,6 +28,12 @@ class GMMPrior(NamedTuple):
     means: jnp.ndarray        # (M, 69)
     precisions: jnp.ndarray   # (M, 69, 69)
     nll_weights: jnp.ndarray  # (M,) — weights / ((2*pi)^(69/2) * relative sqrt-det)
+    weights: jnp.ndarray      # (M,) raw mixture weights (reference prior.py:163-164)
+    logdets: jnp.ndarray      # (M,) log(det(cov) + eps) for the full-NLL path
+
+
+# Reference prior.py:103 default determinant regularizer.
+_GMM_EPSILON = 1e-16
 
 
 def _build_gmm(means: np.ndarray, covs: np.ndarray, weights: np.ndarray) -> GMMPrior:
@@ -36,7 +42,8 @@ def _build_gmm(means: np.ndarray, covs: np.ndarray, weights: np.ndarray) -> GMMP
     weights = weights.astype(np.float64)
 
     precisions = np.stack([np.linalg.inv(c) for c in covs])
-    sqrdets = np.array([np.sqrt(np.linalg.det(c)) for c in covs])
+    dets = np.array([np.linalg.det(c) for c in covs])
+    sqrdets = np.sqrt(dets)
     const = (2 * np.pi) ** (POSE_DIM / 2.0)
     nll_weights = weights / (const * (sqrdets / sqrdets.min()))
 
@@ -44,6 +51,8 @@ def _build_gmm(means: np.ndarray, covs: np.ndarray, weights: np.ndarray) -> GMMP
         means=jnp.asarray(means, jnp.float32),
         precisions=jnp.asarray(precisions, jnp.float32),
         nll_weights=jnp.asarray(nll_weights, jnp.float32),
+        weights=jnp.asarray(weights, jnp.float32),
+        logdets=jnp.asarray(np.log(dets + _GMM_EPSILON), jnp.float32),
     )
 
 
@@ -100,6 +109,62 @@ def gmm_prior_nll(prior: GMMPrior, pose: jnp.ndarray) -> jnp.ndarray:
     quad = jnp.sum(prec_diff * diff, axis=-1)                  # (B, M)
     loglik = 0.5 * quad - jnp.log(prior.nll_weights)[None]
     return jnp.min(loglik, axis=1)
+
+
+def gmm_prior_nll_full(prior: GMMPrior, pose: jnp.ndarray) -> jnp.ndarray:
+    """Full (non-'merged') max-mixture NLL with the Gaussian normalizers kept
+    explicit: per component quadratic + 0.5*(log det cov + D*log 2pi) — the
+    quadratic is deliberately NOT halved, matching the reference formula —
+    minimized over components, minus the log nll-weight of the argmin
+    component (reference prior.py:198-225, the ``use_merged=False`` branch of
+    ``MaxMixturePrior.forward``).
+
+    The reference's batched indexing (`log_likelihoods[:, min_idx]`) only
+    gathers correctly for batch size 1; this implements the per-sample gather
+    it intends.
+
+    Args:
+      pose: (B, 69) body pose as axis-angle (no global orient).
+    Returns:
+      (B,) per-sample NLL.
+    """
+    diff = pose[:, None, :] - prior.means[None]                # (B, M, 69)
+    prec_diff = jnp.einsum("mij,bmj->bmi", prior.precisions, diff,
+                           precision=_HI)
+    quad = jnp.sum(prec_diff * diff, axis=-1)                  # (B, M)
+    loglik = quad + 0.5 * (prior.logdets
+                           + POSE_DIM * jnp.log(2.0 * jnp.pi))[None]
+    min_idx = jnp.argmin(loglik, axis=1)
+    min_ll = jnp.take_along_axis(loglik, min_idx[:, None], axis=1)[:, 0]
+    return min_ll - jnp.log(prior.nll_weights)[min_idx]
+
+
+def gmm_mean_pose(prior: GMMPrior) -> jnp.ndarray:
+    """Mean of the mixture: weights @ means (reference prior.py:176-179)."""
+    return jnp.einsum("m,mj->j", prior.weights, prior.means, precision=_HI)
+
+
+def create_prior(prior_type: str | None, prior: GMMPrior | None = None,
+                 use_merged: bool = True):
+    """Factory mirroring reference prior.py:36-50: returns a callable
+    ``f(pose, betas) -> (B,) penalty`` for 'gmm' | 'l2' | 'angle' | 'none'.
+
+    The reference returns nn.Modules; here each kind closes over its data and
+    stays jit-compatible.  'gmm' requires ``prior``; ``use_merged`` picks the
+    merged vs full NLL formulation (prior.py:226-231).
+    """
+    if prior_type == "gmm":
+        if prior is None:
+            raise ValueError("create_prior('gmm') needs a GMMPrior")
+        fn = gmm_prior_nll if use_merged else gmm_prior_nll_full
+        return lambda pose, betas=None: fn(prior, pose)
+    if prior_type == "l2":
+        return lambda pose, betas=None: jnp.sum(pose**2, axis=-1)
+    if prior_type == "angle":
+        return lambda pose, betas=None: angle_prior(pose).sum(axis=-1)
+    if prior_type in ("none", None):
+        return lambda pose, betas=None: jnp.zeros(pose.shape[0], pose.dtype)
+    raise ValueError(f"Prior {prior_type!r} is not implemented")
 
 
 def shape_prior(betas: jnp.ndarray, row_w=None) -> jnp.ndarray:

@@ -181,6 +181,15 @@ def spin_joints(model: SMPLModel, verts: jnp.ndarray,
     return joints54[:, jnp.asarray(constants.SPIN_JOINT_GATHER)]
 
 
+def original_joints(model: SMPLModel, verts: jnp.ndarray,
+                    kin_joints: jnp.ndarray) -> jnp.ndarray:
+    """The pre-remap smplx joint set: [24 posed kinematic + 21 selected
+    vertices], without the 9 extra regressed joints and without the SPIN
+    gather (reference model/smpl.py:39-43 ``get_original_kps``)."""
+    sel_verts = verts[:, model.vertex_joint_ids]
+    return jnp.concatenate([kin_joints, sel_verts], axis=1)
+
+
 def smpl_forward(
     model: SMPLModel,
     betas: jnp.ndarray,

@@ -13,6 +13,7 @@ from dynaboa_tpu.ops.camera import (
     weak_perspective_to_translation,
     project_to_crop,
     estimate_translation,
+    estimate_translation_hmmr,
 )
 from dynaboa_tpu.ops.procrustes import (
     similarity_transform,
@@ -26,6 +27,7 @@ __all__ = [
     "rot6d_to_rotmat", "quat_to_rotmat", "batch_rodrigues", "rotmat_to_quat",
     "quat_to_aa", "rotmat_to_aa", "perspective_projection",
     "weak_perspective_to_translation", "project_to_crop",
-    "estimate_translation", "similarity_transform", "reconstruction_error",
+    "estimate_translation", "estimate_translation_hmmr",
+    "similarity_transform", "reconstruction_error",
     "compute_error_accel", "compute_pck", "image", "keypoints",
 ]

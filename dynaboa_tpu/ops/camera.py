@@ -120,3 +120,24 @@ def estimate_translation(
     A = jnp.einsum("bri,brj->bij", Q, Q, precision=_HI)                      # (B, 3, 3)
     b = jnp.einsum("bri,br->bi", Q, c, precision=_HI)                        # (B, 3)
     return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
+def estimate_translation_hmmr(
+    S: jnp.ndarray,
+    joints_2d: jnp.ndarray,
+    focal_length: float = 5000.0,
+    img_size: float = 256.0,
+) -> jnp.ndarray:
+    """HMMR-convention translation fit: uses only the first 14 joints of the
+    correspondences (reference geometry.py:134-153; there a per-sample numpy
+    loop over ``estimate_translation_np``, here the same batched WLS solve as
+    ``estimate_translation``).
+
+    Args:
+      S: (B, >=14, 3) 3D joints.
+      joints_2d: (B, >=14, 3) pixel-space 2D joints with confidence last.
+    Returns:
+      (B, 3) camera translations.
+    """
+    return estimate_translation(S[:, :14], joints_2d[:, :14],
+                                focal_length=focal_length, img_size=img_size)

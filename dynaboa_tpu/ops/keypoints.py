@@ -106,6 +106,17 @@ JOINT_FORMATS: dict[str, tuple[str, ...]] = {
 }
 
 
+# The posetrack dataset's own joint naming (reference kp_utils.py:338-357,
+# ``get_posetrack_original_kp_names``).  Position i here is the same landmark
+# as position i of JOINT_FORMATS["posetrack"]'s canonical names.
+POSETRACK_ORIGINAL_KP_NAMES: tuple[str, ...] = (
+    "nose", "head_bottom", "head_top", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip", "left_knee",
+    "right_knee", "left_ankle", "right_ankle",
+)
+
+
 def joint_names(fmt: str) -> tuple[str, ...]:
     try:
         return JOINT_FORMATS[fmt]

@@ -85,6 +85,34 @@ def body_fitting_loss(body_pose, betas, model_joints, camera_t, camera_center,
     return total.sum()
 
 
+def body_fitting_loss_smplify_x(body_pose, betas, pose_embedding, camera_t,
+                                camera_center, model_joints, joints_conf,
+                                joints_2d, focal_length=5000.0, sigma=100.0,
+                                body_pose_weight=4.78, shape_prior_weight=5.0,
+                                angle_prior_weight=15.2, output="sum"):
+    """SMPLify-X body-fitting loss variant: the GMM pose prior is replaced by
+    an L2 penalty on a latent pose embedding (VPoser-style), everything else
+    matches ``body_fitting_loss`` (reference losses.py:26-47; imported but
+    never called by the reference's SMPLify — kept for capability parity).
+
+    Args:
+      pose_embedding: (B, Z) latent pose code; penalized as
+        ``body_pose_weight**2 * sum(embedding**2)``.
+    """
+    proj = _project(model_joints, camera_t, camera_center, focal_length)
+    reproj_err = gmof(proj - joints_2d, sigma)
+    reproj = (joints_conf**2) * reproj_err.sum(axis=-1)
+
+    pose_prior_loss = (body_pose_weight**2) * jnp.sum(pose_embedding**2)
+    shape_loss = (shape_prior_weight**2) * (betas**2).sum(axis=-1)
+    angle_loss = (angle_prior_weight**2) * angle_prior(body_pose).sum(axis=-1)
+
+    total = reproj.sum(axis=-1) + pose_prior_loss + angle_loss + shape_loss
+    if output == "reprojection":
+        return reproj
+    return total.sum()
+
+
 class SMPLify:
     """Two-stage SMPL fitting, jitted end-to-end."""
 
