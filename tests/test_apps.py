@@ -42,6 +42,37 @@ class TestBenchmarkApp:
         assert (tmp_path / "par" / "res.txt").exists()
 
 
+class TestInternetApp:
+    def test_synthetic_end_to_end(self, tmp_path):
+        """The unlabeled-stream entry point (reference dynaboa_internet.py):
+        no metrics, per-frame prediction dumps with the cam translation
+        conversion (dynaboa_internet.py:157-159), and the
+        run_on_internet.sh shape_prior_weight=2e-4 preset."""
+        from dynaboa_tpu.apps.internet import main
+        from dynaboa_tpu import constants
+
+        summary = main([
+            "--expdir", str(tmp_path), "--expname", "net_smoke",
+            "--synthetic", "3", *LEAN,
+        ])
+        assert summary["frames"] == 3
+        # unlabeled stream: no metrics computed (placeholder zeros)
+        assert summary.get("mpjpe", 0.0) == 0.0
+        exp = tmp_path / "net_smoke"
+        assert (exp / "setting.txt").exists()
+        assert "2e-04" in (exp / "setting.txt").read_text() \
+            or "0.0002" in (exp / "setting.txt").read_text()
+
+        preds = sorted((exp / "result").glob("Pred_*.npz"))
+        assert len(preds) == 3
+        d = np.load(preds[0])
+        assert {"verts", "cam", "rotmat", "beta"} <= set(d.keys())
+        # cam is the translation-converted camera: z = 2f/(res*s + eps)
+        s = d["cam_crop"][0][0]
+        want_z = 2.0 * constants.FOCAL_LENGTH / (constants.IMG_RES * s + 1e-9)
+        np.testing.assert_allclose(d["cam"][0][2], want_z, rtol=1e-5)
+
+
 class TestStreamApp:
     @pytest.mark.slow
     def test_video_end_to_end(self, tmp_path):
