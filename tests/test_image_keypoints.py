@@ -168,3 +168,53 @@ class TestAugmentationHelpers:
         assert sk.max() < 49
         with pytest.raises(ValueError):
             K.get_skeleton("nope")
+
+
+class TestFormatMatrix:
+    """Exhaustive checks over the full 15-format taxonomy (reference
+    kp_utils.py get_*_joint_names): format sizes match the reference
+    tables, and every (src, dst) conversion preserves shared joints and
+    zeros the rest."""
+
+    # joint counts of the reference's tables, derived once from
+    # /root/reference/utils/kp_utils.py
+    REF_SIZES = {
+        "spin": 49, "h36m": 17, "coco": 17, "common": 14, "mpii": 16,
+        "mpii3d": 28, "mpii3d_test": 17, "3dpw": 14, "smplcoco": 19,
+        "smpl": 24, "posetrack": 17, "pennaction": 13, "aich": 14,
+        "insta": 25, "staf": 21,
+    }
+
+    def test_all_reference_formats_present_with_exact_sizes(self):
+        assert set(K.JOINT_FORMATS) == set(self.REF_SIZES)
+        for fmt, n in self.REF_SIZES.items():
+            assert len(K.joint_names(fmt)) == n, fmt
+
+    def test_every_pair_converts_correctly(self, rng):
+        fmts = sorted(K.JOINT_FORMATS)
+        for src in fmts:
+            src_names = K.joint_names(src)
+            kp = rng.normal(size=(2, len(src_names), 3)).astype(np.float32)
+            for dst in fmts:
+                out = K.convert_kps(kp, src, dst)
+                dst_names = K.joint_names(dst)
+                assert out.shape == (2, len(dst_names), 3), (src, dst)
+                for i, name in enumerate(dst_names):
+                    if name in src_names:
+                        np.testing.assert_array_equal(
+                            out[:, i], kp[:, src_names.index(name)],
+                            err_msg=f"{src}->{dst}:{name}")
+                    else:
+                        assert np.all(out[:, i] == 0.0), (src, dst, name)
+
+    def test_self_conversion_is_identity(self, rng):
+        for fmt in K.JOINT_FORMATS:
+            n = len(K.joint_names(fmt))
+            kp = rng.normal(size=(1, n, 3)).astype(np.float32)
+            np.testing.assert_array_equal(K.convert_kps(kp, fmt, fmt), kp)
+
+    def test_skeleton_edges_in_range(self):
+        for fmt, edges in K.SKELETONS.items():
+            n = len(K.joint_names(fmt))
+            sk = K.get_skeleton(fmt)
+            assert sk.min() >= 0 and sk.max() < n, fmt
