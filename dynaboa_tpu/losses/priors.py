@@ -147,11 +147,13 @@ def gmm_mean_pose(prior: GMMPrior) -> jnp.ndarray:
 def create_prior(prior_type: str | None, prior: GMMPrior | None = None,
                  use_merged: bool = True):
     """Factory mirroring reference prior.py:36-50: returns a callable
-    ``f(pose, betas) -> (B,) penalty`` for 'gmm' | 'l2' | 'angle' | 'none'.
+    ``f(pose, betas)`` for 'gmm' | 'l2' | 'angle' | 'none'.
 
     The reference returns nn.Modules; here each kind closes over its data and
     stays jit-compatible.  'gmm' requires ``prior``; ``use_merged`` picks the
-    merged vs full NLL formulation (prior.py:226-231).
+    merged vs full NLL formulation (prior.py:226-231).  Output shapes match
+    the reference modules: (B,) for gmm/l2, (B, 4) per-joint penalties for
+    'angle' (SMPLifyAnglePrior.forward), scalar 0.0 for 'none'.
     """
     if prior_type == "gmm":
         if prior is None:
@@ -161,9 +163,9 @@ def create_prior(prior_type: str | None, prior: GMMPrior | None = None,
     if prior_type == "l2":
         return lambda pose, betas=None: jnp.sum(pose**2, axis=-1)
     if prior_type == "angle":
-        return lambda pose, betas=None: angle_prior(pose).sum(axis=-1)
+        return lambda pose, betas=None: angle_prior(pose)
     if prior_type in ("none", None):
-        return lambda pose, betas=None: jnp.zeros(pose.shape[0], pose.dtype)
+        return lambda pose, betas=None: 0.0
     raise ValueError(f"Prior {prior_type!r} is not implemented")
 
 

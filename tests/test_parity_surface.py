@@ -90,13 +90,13 @@ class TestCreatePrior:
         l2 = create_prior("l2")
         np.testing.assert_allclose(np.asarray(l2(pose)),
                                    (np.asarray(pose) ** 2).sum(-1), rtol=1e-6)
+        # 'angle' keeps the reference module's (B, 4) per-joint shape
         ang = create_prior("angle")
-        np.testing.assert_allclose(
-            np.asarray(ang(pose)),
-            np.asarray(angle_prior(pose)).sum(-1), rtol=1e-6)
-        none = create_prior("none")
-        assert np.all(np.asarray(none(pose)) == 0.0)
-        assert np.all(np.asarray(create_prior(None)(pose)) == 0.0)
+        np.testing.assert_allclose(np.asarray(ang(pose)),
+                                   np.asarray(angle_prior(pose)), rtol=1e-6)
+        # 'none' returns the reference's scalar 0.0 (prior.py:44-47)
+        assert create_prior("none")(pose) == 0.0
+        assert create_prior(None)(pose) == 0.0
 
     def test_unknown_and_missing_gmm_raise(self):
         with pytest.raises(ValueError):
